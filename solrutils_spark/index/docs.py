@@ -1,0 +1,76 @@
+"""docs table build: dedup (unique-key upsert) + dense doc_id + sha256 invariant.
+
+Reference semantics covered:
+- unique-key identity / upsert (E9): the reference resolves documents by the
+  schema uniqueKey (BulkUpdateHandler.java:34,91). Our key is (repo, path);
+  latest ``commit`` wins — a window row_number, never a driver loop.
+- stored-field retention (S3 "store raw XML" analog, XsltUpdateHandler.java:
+  156-189): ``content`` is kept as a column and its sha256 recorded, giving
+  the per-row invariant vs the source table required by BASELINE.json.
+
+doc_id contract (SURVEY.md §7.0): dense int64 = global rank in the total
+order (repo, path, commit) over the deduplicated corpus — deterministic for a
+given input regardless of partitioning.
+
+Scale note: a naive ``row_number() over (order by ...)`` collapses to ONE
+partition. We instead range-partition on the key, rank locally, and add
+per-partition offsets (two cheap passes) — the standard scalable dense-id
+pattern; works unchanged at 10^12 rows since the only driver-side state is
+one count per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest_commit(corpus: DataFrame) -> DataFrame:
+    """E9 unique-key upsert: keep the lexicographically-max commit per (repo, path)."""
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.col("commit").desc(), F.col("content").desc()
+    )
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Add dense deterministic ``doc_id`` = rank in total order (repo,path,commit)."""
+    if num_partitions is None:
+        num_partitions = corpus.sparkSession.sparkContext.defaultParallelism
+    ranged = corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
+    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn", F.row_number().over(w)
+    )
+    local = local.persist()
+    counts = {r["_pid"]: r["cnt"] for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = corpus.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_lrn") - 1).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return out
+
+
+def build_docs(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """corpus → docs(doc_id, repo, path, commit, lang, content, content_sha256).
+
+    ``doc_len`` is attached later by the postings build (it is defined as the
+    post-analysis token count, so it falls out of tokenization — one pass).
+    """
+    deduped = dedup_latest_commit(corpus)
+    with_ids = assign_doc_ids(deduped, num_partitions)
+    return with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256)).select(
+        "doc_id", "repo", "path", "commit", "lang", "content", "content_sha256"
+    )

@@ -1,0 +1,55 @@
+"""Pure-Python BM25 reference oracle (SURVEY.md §5.2 item 3).
+
+Deliberately simple and exhaustive: dict-of-dicts index, no pruning, float64,
+fixed summation order (terms sorted lexicographically), tie-break
+``(score desc, doc_id asc)``. This is the rank-parity gate the engine must
+match docID-for-docID and score-for-score (atol 1e-9).
+
+Implements the Lucene-7-default BM25 the reference executes under
+(reference: pom.xml:36-40 pins solr-core 7.2.1 whose default similarity is
+BM25 k1=1.2, b=0.75): idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+tf_norm = tf / (tf + k1*(1 - b + b*|d|/avgdl)).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from solrutils_spark.functions.analyzer import B, K1, analyze
+
+
+class OracleIndex:
+    def __init__(self, docs: list[tuple[int, str]]):
+        """docs: list of (doc_id, content)."""
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, content in docs:
+            toks = analyze(content)
+            self.doc_len[doc_id] = len(toks)
+            for term, tf in Counter(toks).items():
+                self.postings.setdefault(term, {})[doc_id] = tf
+        self.n_docs = len(self.doc_len)
+        self.avgdl = (
+            sum(self.doc_len.values()) / self.n_docs if self.n_docs else 0.0
+        )
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive disjunctive (OR) BM25 top-k."""
+        terms = sorted(set(analyze(query_text)))
+        scores: dict[int, float] = {}
+        for term in terms:  # sorted order = fixed summation order
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = self.idf(term)
+            for doc_id, tf in plist.items():
+                dl = self.doc_len[doc_id]
+                norm = K1 * (1.0 - B + B * dl / self.avgdl) if self.avgdl else K1
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf / (tf + norm)
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]
