@@ -1,0 +1,82 @@
+"""Index build orchestrator — corpus → docs → segments → merged index → stats.
+
+One lineage-tracked batch job (the Spark equivalent of the reference's
+`/update` + commit lifecycle, SURVEY.md §3.2). All stages are resumable:
+
+- docs table: rewritten only if absent (deterministic given the corpus),
+- segments: per-partition lineage skip (segments.py),
+- merged index + stats: overwrite-atomic (parquet job commit).
+
+Layout under ``out_dir``::
+
+    docs.parquet/           doc_id, repo, path, commit, lang, content, content_sha256
+    segments/seg=<k>.parquet
+    lineage/seg=<k>.json
+    index/bucket=<b>/...    merged, salted, term-bucketed postings
+    stats.json              {n_docs, avgdl, total_tokens, num_buckets, num_salts}
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solrutils_spark.index.docs import build_docs
+from solrutils_spark.index.merge import DEFAULT_BUCKETS, merge_segments, read_index, write_index
+from solrutils_spark.index.segments import build_segments, read_lineage, read_segments
+
+
+def build_index(
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    segment_size: int = 4096,
+    num_salts: int = 4,
+    num_buckets: int = DEFAULT_BUCKETS,
+    resume: bool = True,
+) -> dict:
+    """Full build. Returns the stats dict. Idempotent / resumable."""
+    spark = corpus.sparkSession
+    out = Path(out_dir)
+    docs_path = out / "docs.parquet"
+
+    if not (resume and docs_path.exists()):
+        docs = build_docs(corpus)
+        docs.write.mode("overwrite").parquet(str(docs_path))
+    docs = spark.read.parquet(str(docs_path))
+
+    lineage = build_segments(docs, out_dir, segment_size=segment_size, resume=resume)
+    agg = lineage.agg(
+        F.sum("rows_in").alias("rows"), F.sum("tokens").alias("tokens")
+    ).collect()[0]
+    n_docs = int(agg["rows"] or 0)
+    total_tokens = int(agg["tokens"] or 0)
+
+    segments = read_segments(spark, out_dir)
+    index = merge_segments(segments, num_salts=num_salts, num_buckets=num_buckets)
+    write_index(index, out_dir)
+
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "total_tokens": total_tokens,
+        "num_buckets": num_buckets,
+        "num_salts": num_salts,
+        "segment_size": segment_size,
+    }
+    (out / "stats.json").write_text(json.dumps(stats))
+    return stats
+
+
+def read_stats(out_dir: str) -> dict:
+    return json.loads((Path(out_dir) / "stats.json").read_text())
+
+
+def read_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(out_dir) / "docs.parquet"))
+
+
+__all__ = ["build_index", "read_stats", "read_docs", "read_index", "read_lineage"]

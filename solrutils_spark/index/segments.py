@@ -1,0 +1,191 @@
+"""E2/S5 — per-partition inverted-index segment build, checkpoint-resumable.
+
+The reference's indexing path feeds documents through Solr's update-processor
+chain into Lucene ``addDocument`` (XsltUpdateHandler.java:196,
+BulkUpdateHandler.java:105) and finalizes with a commit
+(BulkUpdateHandler.java:150); Lucene writes immutable segments. Here a
+*segment* is the inverted index of a deterministic ``doc_id`` range::
+
+    segment_id = doc_id // segment_size
+
+so segment membership is a pure function of the data, independent of physical
+partitioning — the property that makes resume sound.
+
+Each segment group (``applyInPandas``) tokenizes, inverts, delta+VByte-encodes
+its terms (codec.py) and *itself* writes:
+
+    <out>/segments/seg=<id>.parquet      (tmp + atomic rename)
+    <out>/lineage/seg=<id>.json          (written only AFTER the data rename)
+
+Lineage carries rows_in / bytes_in / terms_out / postings_bytes / status /
+attempt (north_rule metrics). Resume = list the lineage dir, skip committed
+segment_ids, rebuild only the rest; a crash between data-rename and
+lineage-write is healed by idempotent overwrite (same bytes, same name).
+
+Scale note: task-level atomic rename stands in for an Iceberg/table-format
+commit, which is what a 1000-executor deployment would use; the lineage table
+is the same either way. Memory is bounded by ``segment_size`` docs per task,
+not by corpus size; no shuffle happens here at all — inversion to global term
+order is deferred to the merge stage (merge.py), exactly like Lucene's
+write-local/merge-later design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solrutils_spark.functions.analyzer import analyze_series
+from solrutils_spark.index.codec import encode_postings
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("segment_id", pa.int32()),
+        ("term", pa.string()),
+        ("n", pa.int64()),  # postings count == df within segment
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("payload", pa.binary()),
+        ("block_offset", pa.list_(pa.int32())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+    ]
+)
+
+LINEAGE_DDL = (
+    "segment_id int, rows_in long, bytes_in long, terms_out long, tokens long, "
+    "postings_bytes long, status string, attempt int, wall_sec double"
+)
+
+
+def _atomic_write(path: Path, write_fn) -> None:
+    tmp = path.with_suffix(path.suffix + f".tmp{os.getpid()}")
+    write_fn(tmp)
+    os.replace(tmp, path)
+
+
+def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    t0 = time.time()
+    seg_id = int(pdf["segment_id"].iloc[0])
+    rows_in = len(pdf)
+    bytes_in = int(pdf["content"].str.len().fillna(0).sum())
+
+    toks = analyze_series(pdf["content"])
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    seg_dir = Path(out_dir) / "segments"
+    lin_dir = Path(out_dir) / "lineage"
+    seg_dir.mkdir(parents=True, exist_ok=True)
+    lin_dir.mkdir(parents=True, exist_ok=True)
+
+    if lens.sum() == 0:
+        table = pa.table(
+            {name: pa.array([], type=SEGMENT_SCHEMA.field(name).type) for name in SEGMENT_SCHEMA.names}
+        )
+        terms_records = []
+    else:
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        dls = np.repeat(lens, lens).astype(np.int64)
+        terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        flat = pd.DataFrame({"term": terms, "doc_id": doc_ids, "dl": dls})
+        counted = (
+            flat.groupby(["term", "doc_id"], sort=True)
+            .agg(tf=("dl", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        terms_records = []
+        for term, grp in counted.groupby("term", sort=True):
+            d = grp["doc_id"].to_numpy(dtype=np.int64)
+            enc = encode_postings(d, grp["tf"].to_numpy(np.int64), grp["dl"].to_numpy(np.int64))
+            terms_records.append(
+                {
+                    "segment_id": seg_id,
+                    "term": term,
+                    "n": enc.n,
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "payload": enc.payload.tobytes(),
+                    "block_offset": enc.block_offset.tolist(),
+                    "block_last": enc.block_last.tolist(),
+                    "block_max_tf": enc.block_max_tf.tolist(),
+                    "block_min_dl": enc.block_min_dl.tolist(),
+                }
+            )
+        table = pa.Table.from_pylist(terms_records, schema=SEGMENT_SCHEMA)
+
+    data_path = seg_dir / f"seg={seg_id}.parquet"
+    _atomic_write(data_path, lambda p: pq.write_table(table, p, compression="zstd"))
+    postings_bytes = sum(len(r["payload"]) for r in terms_records)
+    lineage = {
+        "segment_id": seg_id,
+        "rows_in": rows_in,
+        "bytes_in": bytes_in,
+        "terms_out": len(terms_records),
+        "tokens": int(lens.sum()),
+        "postings_bytes": postings_bytes,
+        "status": "committed",
+        "attempt": 1,
+        "wall_sec": round(time.time() - t0, 4),
+    }
+    _atomic_write(
+        lin_dir / f"seg={seg_id}.json",
+        lambda p: p.write_text(json.dumps(lineage)),
+    )
+    return pd.DataFrame([lineage])
+
+
+def committed_segments(out_dir: str) -> set[int]:
+    lin_dir = Path(out_dir) / "lineage"
+    if not lin_dir.exists():
+        return set()
+    done = set()
+    for f in lin_dir.glob("seg=*.json"):
+        try:
+            row = json.loads(f.read_text())
+            if row.get("status") == "committed":
+                done.add(int(row["segment_id"]))
+        except (ValueError, KeyError):
+            continue  # torn write → rebuild that segment
+    return done
+
+
+def build_segments(
+    docs: DataFrame, out_dir: str, segment_size: int = 4096, resume: bool = True
+) -> DataFrame:
+    """Build (or resume) all segments; returns the lineage DataFrame.
+
+    Idempotent: rerunning after any interruption produces a final index
+    byte-identical (per term) to an uninterrupted build (FIXTURES.md §7).
+    """
+    tagged = docs.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(segment_size)).cast("int")
+    )
+    done = committed_segments(out_dir) if resume else set()
+    todo = tagged
+    if done:
+        todo = tagged.filter(~F.col("segment_id").isin(list(done)))
+
+    lineage_new = todo.select("segment_id", "doc_id", "content").groupBy("segment_id").applyInPandas(
+        lambda pdf: _build_segment(pdf, out_dir), schema=LINEAGE_DDL
+    )
+    lineage_new.count()  # force execution (side-effecting writes)
+    return read_lineage(docs.sparkSession, out_dir)
+
+
+def read_lineage(spark, out_dir: str) -> DataFrame:
+    lin_dir = Path(out_dir) / "lineage"
+    rows = [json.loads(f.read_text()) for f in sorted(lin_dir.glob("seg=*.json"))]
+    return spark.createDataFrame(rows, LINEAGE_DDL) if rows else spark.createDataFrame([], LINEAGE_DDL)
+
+
+def read_segments(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(out_dir) / "segments"))

@@ -1,0 +1,82 @@
+"""Codec fixtures (FIXTURES.md §5): round-trip identity + block-max validity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from solrutils_spark.functions.analyzer import B, K1
+from solrutils_spark.index.codec import (
+    BLOCK,
+    decode_block,
+    decode_postings,
+    encode_postings,
+    vbyte_decode,
+    vbyte_encode,
+)
+
+SIZES = [0, 1, 2, 127, 128, 129, 1000, 100_000]
+
+
+@pytest.mark.parametrize("size", SIZES)
+def test_vbyte_roundtrip(size):
+    rng = np.random.default_rng(42 + size)
+    vals = rng.integers(0, 2**40, size=size).astype(np.uint64)
+    enc = vbyte_encode(vals)
+    dec, consumed = vbyte_decode(enc, size)
+    assert consumed == enc.size
+    np.testing.assert_array_equal(dec, vals)
+
+
+def test_vbyte_edge_values():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**35, 2**63 - 1], dtype=np.uint64)
+    dec, _ = vbyte_decode(vbyte_encode(vals), len(vals))
+    np.testing.assert_array_equal(dec, vals)
+
+
+def _random_postings(size, seed):
+    rng = np.random.default_rng(seed)
+    gaps = rng.integers(1, 5000, size=size)
+    doc_ids = np.cumsum(gaps).astype(np.int64)
+    tfs = rng.integers(1, 300, size=size).astype(np.int64)
+    dls = rng.integers(1, 5000, size=size).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+@pytest.mark.parametrize("size", [s for s in SIZES if s > 0])
+def test_postings_roundtrip(size):
+    doc_ids, tfs, dls = _random_postings(size, 7 * size + 1)
+    enc = encode_postings(doc_ids, tfs, dls)
+    assert enc.n == size
+    assert len(enc.block_offset) == (size + BLOCK - 1) // BLOCK
+    d, t, l = decode_postings(enc.n, enc.payload, enc.block_offset, enc.block_last)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+    np.testing.assert_array_equal(l, dls)
+
+
+def test_single_block_decode_matches_full():
+    doc_ids, tfs, dls = _random_postings(1000, 99)
+    enc = encode_postings(doc_ids, tfs, dls)
+    for i in range(len(enc.block_offset)):
+        prev_last = int(enc.block_last[i - 1]) if i > 0 else 0
+        d, t, l = decode_block(enc.payload, enc.n, i, enc.block_offset, prev_last)
+        lo = i * BLOCK
+        np.testing.assert_array_equal(d, doc_ids[lo : lo + d.size])
+        np.testing.assert_array_equal(t, tfs[lo : lo + d.size])
+        np.testing.assert_array_equal(l, dls[lo : lo + d.size])
+        assert int(enc.block_last[i]) == int(d[-1])
+
+
+def test_block_max_bound_validity():
+    """No posting in a block may beat the block's upper bound (WAND safety)."""
+    doc_ids, tfs, dls = _random_postings(10_000, 5)
+    enc = encode_postings(doc_ids, tfs, dls)
+    avgdl = 1500.0
+    for i in range(len(enc.block_offset)):
+        lo, hi = i * BLOCK, min((i + 1) * BLOCK, enc.n)
+        bound_tf = float(enc.block_max_tf[i])
+        bound_dl = float(enc.block_min_dl[i])
+        bound = bound_tf / (bound_tf + K1 * (1 - B + B * bound_dl / avgdl))
+        actual = tfs[lo:hi] / (tfs[lo:hi] + K1 * (1 - B + B * dls[lo:hi] / avgdl))
+        assert actual.max() <= bound + 1e-12

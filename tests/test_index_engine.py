@@ -1,0 +1,131 @@
+"""Segment/merge/WAND path: rank-identical parity + resume + lineage.
+
+The exact-DataFrame path is already pinned to the oracle (test_bm25_parity);
+this suite pins the compressed on-disk path: build → segments → salted merge
+→ bucketed index → block-max WAND — same oracle, same queries, same atol.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from solrutils_spark.corpus import reference_queries, synth_corpus
+from solrutils_spark.index.builder import build_index, read_lineage
+from solrutils_spark.oracle.reference_bm25 import OracleIndex
+from solrutils_spark.query.engine import IndexReader
+
+N_DOCS = 400
+SEGMENT_SIZE = 64  # forces many segments + multi-salt merge at tiny scale
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    corpus = synth_corpus(spark, N_DOCS, hot_repeat=2_000)
+    stats = build_index(corpus, out, segment_size=SEGMENT_SIZE, num_salts=3, num_buckets=16)
+    assert stats["n_docs"] == N_DOCS
+    return out
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, reader):
+    rows = reader.docs.select("doc_id", "content").collect()
+    return OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+
+
+def test_stats_match_oracle(reader, oracle):
+    assert reader.stats["n_docs"] == oracle.n_docs
+    assert reader.stats["avgdl"] == pytest.approx(oracle.avgdl, abs=1e-9)
+
+
+def test_lineage_complete(spark, index_dir):
+    lineage = read_lineage(spark, index_dir)
+    rows = lineage.collect()
+    n_segments = -(-N_DOCS // SEGMENT_SIZE)
+    assert len(rows) == n_segments
+    assert all(r["status"] == "committed" for r in rows)
+    assert sum(r["rows_in"] for r in rows) == N_DOCS
+    assert all(r["postings_bytes"] >= 0 for r in rows)
+
+
+@pytest.mark.parametrize("qid,qtext,k", reference_queries())
+def test_wand_rank_identical(reader, oracle, qid, qtext, k):
+    expected = oracle.search(qtext, k)
+    got = [(r["doc_id"], r["score"]) for r in reader.search(qtext, k).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected], (
+        f"q{qid} {qtext!r}\n got={got}\n exp={expected}"
+    )
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, abs=1e-9), f"q{qid} doc {gd}"
+
+
+def test_wand_equals_exhaustive(reader):
+    """Pruning must never change results — run both kernel modes."""
+    for qtext in ["posting segment lucene", "hotTermZipfianStorm posting", "delta encode posting list"]:
+        w = [(r["doc_id"], r["score"]) for r in reader.search(qtext, 20, use_wand=True).collect()]
+        e = [(r["doc_id"], r["score"]) for r in reader.search(qtext, 20, use_wand=False).collect()]
+        assert w == e
+
+
+def test_filtered_search_restricts_but_never_scores(reader, oracle):
+    qtext = "posting segment"
+    unfiltered = [(r["doc_id"], r["score"]) for r in reader.search(qtext, 50).collect()]
+    allowed = [d for d, _ in unfiltered if d % 2 == 0]
+    got = [(r["doc_id"], r["score"]) for r in reader.search(qtext, 10, filter_doc_ids=allowed).collect()]
+    assert all(d % 2 == 0 for d, _ in got)
+    # scores identical to unfiltered run for surviving docs (filters never score)
+    unf = dict(unfiltered)
+    for d, s in got:
+        assert s == pytest.approx(unf[d], abs=1e-12)
+
+
+def test_paging_offset(reader):
+    full = [r["doc_id"] for r in reader.search("posting segment", 20).collect()]
+    page2 = [r["doc_id"] for r in reader.search("posting segment", 5, offset=5).collect()]
+    assert page2 == full[5:10]
+
+
+def test_fetch_joins_stored_fields(reader):
+    rows = reader.fetch(reader.search("posting segment", 5)).collect()
+    assert len(rows) == 5
+    assert all(r["path"] and r["repo"] for r in rows)
+
+
+def test_resume_byte_identical(spark, tmp_path):
+    """FIXTURES.md §7 — interrupt after some segments, resume, byte-identical index."""
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resumed")
+    corpus = synth_corpus(spark, 200, hot_repeat=500)
+    build_index(corpus, out_full, segment_size=16, num_salts=2, num_buckets=8)
+
+    # simulate a crash: build only docs + a prefix of segments, then resume
+    from solrutils_spark.index.docs import build_docs
+    from solrutils_spark.index.segments import build_segments
+
+    docs = build_docs(corpus)
+    docs.write.mode("overwrite").parquet(str(Path(out_resume) / "docs.parquet"))
+    docs_r = spark.read.parquet(str(Path(out_resume) / "docs.parquet"))
+    build_segments(
+        docs_r.filter("doc_id < 112"), out_resume, segment_size=16
+    )  # 7 of 13 segments committed
+    done = {json.loads(f.read_text())["segment_id"] for f in (Path(out_resume) / "lineage").glob("*.json")}
+    assert len(done) == 7
+
+    build_index(corpus, out_resume, segment_size=16, num_salts=2, num_buckets=8)
+    lineage = read_lineage(spark, out_resume)
+    assert lineage.count() == 13
+    assert lineage.select("segment_id").distinct().count() == 13
+
+    full_idx = spark.read.parquet(str(Path(out_full) / "index")).orderBy("term", "salt")
+    res_idx = spark.read.parquet(str(Path(out_resume) / "index")).orderBy("term", "salt")
+    a = [(r["term"], r["salt"], bytes(r["payload"])) for r in full_idx.collect()]
+    b = [(r["term"], r["salt"], bytes(r["payload"])) for r in res_idx.collect()]
+    assert a == b  # byte-identical per (term, salt)
