@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line the driver records per round.
+
+Components (all timed separately, reported in "queries"):
+- index_build     : full Layer-A build (tokenize → segments → salted merge →
+                    stats) over the deterministic synthetic code corpus
+- bm25_p50        : median WAND top-10 latency over the reference query set
+                    against the built index
+- bm25_sql        : exact-DataFrame BM25 over documents.parquet (driver-gate twin)
+- facet_field / json_facet_nested / topn_events / sort_paging / semi_join:
+                    headline relational operators at $SPARK_GRAFT_SF_DIR
+- ann_cosine      : brute cosine top-10 over embeddings
+- minhash_dedup   : MinHash+LSH near-dup pairs over documents
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from solrutils_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="solrutils-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from solrutils_spark.corpus import reference_queries, synth_corpus
+    from solrutils_spark.index.builder import build_index
+    from solrutils_spark.operators.dedup import minhash_dedup_pairs
+    from solrutils_spark.query.engine import IndexReader
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. index build throughput
+    out_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    corpus = synth_corpus(spark, n_docs, hot_repeat=100_000)
+    stats = timed("index_build", lambda: build_index(
+        corpus, out_dir, segment_size=2048, num_salts=8, num_buckets=64))
+    extra["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+    extra["index_total_tokens"] = stats["total_tokens"]
+
+    # 2. BM25 query latency over the built index
+    reader = IndexReader(spark, out_dir)
+    reader.index = reader.index.cache()
+    reader.index.count()  # warm the cache: steady-state query latency
+    lat: list[float] = []
+    qset = reference_queries()
+    t0 = time.perf_counter()
+    for _qid, qtext, k in qset:
+        s = time.perf_counter()
+        reader.search(qtext, k).collect()
+        lat.append(time.perf_counter() - s)
+    timings["bm25_batch"] = round(time.perf_counter() - t0, 3)
+    extra["bm25_p50_ms"] = round(1000 * statistics.median(lat), 1)
+    extra["bm25_p95_ms"] = round(1000 * sorted(lat)[int(0.95 * len(lat))], 1)
+    extra["bm25_queries"] = len(lat)
+
+    # 3. headline relational / pipeline operators on the sf tables
+    qs = entry.queries()
+    for name in ["bm25_topk", "facet_field", "json_facet_nested", "topn_events",
+                 "sort_paging", "semi_join", "ann_cosine"]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    timed("minhash_dedup", lambda: minhash_dedup_pairs(
+        docs, num_perm=32, bands=8, threshold=0.9, shingle_k=3).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "engine_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "bench_docs": n_docs,
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Two-parallelism scaling evidence (north_rule: N → 4N efficiency ≥ 0.8).
+
+Runs the SAME job — index build + BM25 query batch over the identical
+deterministic corpus — at local[8] and local[32] in separate JVMs (fresh
+SparkSession each), then writes BENCH/BASELINE.md with throughput at both
+levels and efficiency = (T_8 / T_32) · (8 / 32)  [sandbox stand-in for N vs
+4N executors, per driver instruction].
+
+Usage: python bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+WORKER = r"""
+import json, statistics, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from solrutils_spark.session import get_spark
+from solrutils_spark.corpus import reference_queries, synth_corpus
+from solrutils_spark.index.builder import build_index
+from solrutils_spark.query.engine import IndexReader
+
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+spark = get_spark(app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+out = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
+corpus = synth_corpus(spark, n_docs, hot_repeat=100_000, partitions=max(cpus * 2, 16))
+t0 = time.perf_counter()
+build_index(corpus, out, segment_size=2048, num_salts=8, num_buckets=64)
+build_sec = time.perf_counter() - t0
+
+reader = IndexReader(spark, out)
+reader.index = reader.index.cache(); reader.index.count()
+lat = []
+t0 = time.perf_counter()
+for _qid, qtext, k in reference_queries():
+    s = time.perf_counter(); reader.search(qtext, k).collect(); lat.append(time.perf_counter() - s)
+batch_sec = time.perf_counter() - t0
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "n_docs": n_docs, "build_sec": round(build_sec, 3),
+    "docs_per_sec": round(n_docs / build_sec, 1),
+    "query_batch_sec": round(batch_sec, 3),
+    "p50_ms": round(1000 * statistics.median(lat), 1),
+}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    script = WORKER.format(repo=str(REPO))
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, path, str(cpus), str(n_docs)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    levels = [8, 32]
+    results = {c: run_level(c, n_docs) for c in levels}
+    r8, r32 = results[8], results[32]
+    # efficiency = (T_N / T_4N) * (N / 4N): 1.0 = perfect linear scaling
+    build_eff = (r8["build_sec"] / r32["build_sec"]) * (8 / 32)
+    batch_eff = (r8["query_batch_sec"] / r32["query_batch_sec"]) * (8 / 32)
+    speedup_build = r8["build_sec"] / r32["build_sec"]
+    speedup_batch = r8["query_batch_sec"] / r32["query_batch_sec"]
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = f"""# BENCH/BASELINE — measured scaling evidence
+
+Same job (index build of {n_docs} synthetic source files + {44}-query BM25
+batch, identical deterministic input, seed 42) at two parallelism levels —
+the sandbox stand-in for N vs 4N executors (driver instruction; no real
+cluster available here). Fresh JVM per level.
+
+| metric | local[8] | local[32] | speedup (8→32) | efficiency |
+|---|---|---|---|---|
+| index build (s) | {r8["build_sec"]} | {r32["build_sec"]} | {speedup_build:.2f}× | {build_eff:.2f} |
+| index throughput (docs/s) | {r8["docs_per_sec"]} | {r32["docs_per_sec"]} | — | — |
+| BM25 query batch (s) | {r8["query_batch_sec"]} | {r32["query_batch_sec"]} | {speedup_batch:.2f}× | {batch_eff:.2f} |
+| BM25 p50 latency (ms) | {r8["p50_ms"]} | {r32["p50_ms"]} | — | — |
+
+efficiency = (T_8 / T_32) · (8/32); 1.0 = perfect linear scaling; target ≥ 0.8
+(BASELINE.json north_rule). Raw: {json.dumps(results)}
+"""
+    (bench_dir / "BASELINE.md").write_text(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,12 @@ def read_stats(out_dir: str) -> dict:
 
 
 def read_docs(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(str(Path(out_dir) / "docs.parquet"))
+    docs = spark.read.parquet(str(Path(out_dir) / "docs.parquet"))
+    dl_path = Path(out_dir) / "doclen"
+    if dl_path.exists():
+        dl = spark.read.parquet(str(dl_path))
+        docs = docs.join(dl, "doc_id", "left").fillna({"doc_len": 0})
+    return docs
 
 
 __all__ = ["build_index", "read_stats", "read_docs", "read_index", "read_lineage"]

@@ -84,8 +84,23 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
     lens = toks.map(len).to_numpy(dtype=np.int64)
     seg_dir = Path(out_dir) / "segments"
     lin_dir = Path(out_dir) / "lineage"
+    dl_dir = Path(out_dir) / "doclen"
     seg_dir.mkdir(parents=True, exist_ok=True)
     lin_dir.mkdir(parents=True, exist_ok=True)
+    dl_dir.mkdir(parents=True, exist_ok=True)
+
+    # per-doc token counts (|d| sidecar) — avoids a second tokenization pass
+    # when the docs table needs doc_len
+    dl_table = pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "doc_len": pa.array(lens.astype("int32"), pa.int32()),
+        }
+    )
+    _atomic_write(
+        dl_dir / f"seg={seg_id}.parquet",
+        lambda p: pq.write_table(dl_table, p, compression="zstd"),
+    )
 
     if lens.sum() == 0:
         table = pa.table(

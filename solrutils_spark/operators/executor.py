@@ -1,0 +1,167 @@
+"""PlanExecutor — run a compiled QueryPlan against Spark (the Solr crossing).
+
+This is the engine's equivalent of the reference handing the compiled
+SolrQuery to Solr's SearchHandler (CustomSearchHandler.java:170-172): it
+interprets the plan's param multimap into DataFrame operations and assembles
+the response dict, then runs the response-handler chain
+(CustomSearchHandler.java:174-179 semantics).
+
+Param interpretation:
+
+- ``q``        query TEXT for BM25 (IndexReader path) — '*:*'/absent = match-all
+- ``fq``*      Spark SQL boolean expressions over the collection's columns;
+               non-scoring (P2), ANDed, pushed down by Catalyst
+- ``sort``     'field dir[, field dir]' → orderBy (T1); default = relevance
+- ``rows``/``start``  top-k + offset paging (T3)
+- ``fl``       projection (P4) — column pruning
+- ``facet.field`` / ``facet.query`` / ``facet.range`` + ``json.facet``  (A2-A5)
+  computed over the FILTERED, UNPAGED domain (Solr semantics)
+
+Execution shape at scale: one scored pass (WAND top-k) + one agg pass per
+facet family over the same filtered domain (cached when both are needed);
+the response carries only top-k rows and facet buckets to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solrutils_spark.operators.facets import (
+    field_facet,
+    json_facet,
+    query_facets,
+    range_facet,
+)
+from solrutils_spark.plans.model import SearchModel
+from solrutils_spark.plans.plan import QueryPlan, parse_json_facet
+from solrutils_spark.query.engine import IndexReader
+
+
+class PlanExecutor:
+    def __init__(
+        self,
+        collection: DataFrame,
+        reader: IndexReader | None = None,
+        id_column: str = "doc_id",
+    ):
+        self.collection = collection
+        self.reader = reader
+        self.id_column = id_column
+
+    # -- public API ----------------------------------------------------------
+    def search(self, model: SearchModel, json_query: dict) -> dict:
+        """Full lifecycle: compile JSON → plan → execute → response dict."""
+        plan = QueryPlan(searcher=self.execute)
+        model.build(plan, json_query)
+        return self.execute(plan)
+
+    def execute(self, plan: QueryPlan) -> dict:
+        domain = self._filtered_domain(plan)
+        q = plan.get_param("q")
+        rows = int(float(plan.get_param("rows", "10")))
+        start = int(float(plan.get_param("start", "0")))
+        scored = self.reader is not None and q not in (None, "", "*:*")
+
+        need_facets = bool(
+            plan.get_params("facet.field")
+            or plan.get_params("facet.query")
+            or plan.get_params("facet.range")
+            or plan.get_param("json.facet")
+        )
+
+        if scored:
+            filter_ids = None
+            if plan.get_params("fq"):
+                filter_ids = [
+                    r[self.id_column] for r in domain.select(self.id_column).collect()
+                ]
+            topk = self.reader.search(q, rows, offset=start, filter_doc_ids=filter_ids)
+            hits = self.reader.fetch(topk, self._fl(plan))
+            facet_domain = (
+                self._scored_domain(domain, q) if need_facets else None
+            )
+        else:
+            ordered = self._sorted(domain, plan)
+            hits = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+            if self._fl(plan):
+                hits = hits.select(*self._fl(plan))
+            facet_domain = domain if need_facets else None
+
+        docs = [r.asDict(recursive=True) for r in hits.collect()]
+        num_found = (
+            facet_domain.count()
+            if facet_domain is not None
+            else (self._scored_domain(domain, q).count() if scored else domain.count())
+        )
+        response: dict = {
+            "responseHeader": {"params": {k: v for k, v in plan.params.items()}},
+            "response": {"numFound": num_found, "start": start, "docs": docs},
+        }
+        if need_facets:
+            self._add_facets(plan, facet_domain, response)
+        for handler in plan.response_handlers:
+            handler.process(plan, response)
+        return response
+
+    # -- internals -----------------------------------------------------------
+    def _fl(self, plan: QueryPlan) -> list[str] | None:
+        fl = plan.get_param("fl")
+        return [f.strip() for f in fl.split(",")] if fl else None
+
+    def _filtered_domain(self, plan: QueryPlan) -> DataFrame:
+        df = self.collection
+        for fq in plan.get_params("fq") or []:
+            df = df.filter(F.expr(fq))
+        return df
+
+    def _scored_domain(self, domain: DataFrame, q: str) -> DataFrame:
+        """Docs matching ≥1 query term AND all filters (the facet domain)."""
+        matching = self.reader.matching_docs(q)
+        return domain.join(matching, self.id_column, "left_semi")
+
+    def _sorted(self, domain: DataFrame, plan: QueryPlan) -> DataFrame:
+        sort = plan.get_param("sort")
+        if not sort:
+            return domain
+        exprs = []
+        for part in sort.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            toks = part.rsplit(" ", 1)
+            if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+                col = F.expr(toks[0])
+                exprs.append(col.desc() if toks[1].lower() == "desc" else col.asc())
+            else:
+                exprs.append(F.expr(part).asc())
+        return domain.orderBy(*exprs)
+
+    def _add_facets(self, plan: QueryPlan, domain: DataFrame, response: dict) -> None:
+        facet_fields: dict = {}
+        for spec in plan.get_params("facet.field") or []:
+            res = field_facet(
+                domain,
+                spec,
+                limit=int(plan.get_param("facet.limit", "100")),
+                mincount=int(plan.get_param("facet.mincount", "0")),
+            )
+            facet_fields[res["key"]] = res["counts"]
+        facet_queries = query_facets(domain, plan.get_params("facet.query") or [])
+        facet_ranges: dict = {}
+        for spec in plan.get_params("facet.range") or []:
+            field = spec.split("}", 1)[1] if spec.startswith("{!") else spec
+            key = field if not spec.startswith("{!") else spec
+            start = float(plan.get_param(f"f.{field}.facet.range.start", plan.get_param("facet.range.start", "0")))
+            end = float(plan.get_param(f"f.{field}.facet.range.end", plan.get_param("facet.range.end", "0")))
+            gap = float(plan.get_param(f"f.{field}.facet.range.gap", plan.get_param("facet.range.gap", "1")))
+            facet_ranges[key] = range_facet(domain, field, start, end, gap)
+        if facet_fields or facet_queries or facet_ranges:
+            response["facet_counts"] = {
+                "facet_fields": facet_fields,
+                "facet_queries": facet_queries,
+                "facet_ranges": facet_ranges,
+            }
+        jf = parse_json_facet(plan)
+        if jf:
+            response["facets"] = json_facet(domain, jf)

@@ -1,0 +1,228 @@
+"""Executor + rerank + split + bulk + log-stats + html component tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solrutils_spark.corpus import synth_corpus
+from solrutils_spark.index.builder import build_index
+from solrutils_spark.operators.executor import PlanExecutor
+from solrutils_spark.operators.rerank import ElevationBlock, collect_elevation_ids, elevate
+from solrutils_spark.operators.split import highlight, split_results
+from solrutils_spark.operators.bulk import bulk_update
+from solrutils_spark.operators.stats_report import latency_stats, read_query_log, top_queries
+from solrutils_spark.plans.model import SearchModel
+from solrutils_spark.query.engine import IndexReader
+from solrutils_spark.sources.html import html_to_text
+from solrutils_spark.sources.json_docs import docs_json_array, to_response_docs
+from solrutils_spark.sources.xml_ingest import decode_xml_bytes, sniff_charset, transform_xml
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cidx"))
+    build_index(synth_corpus(spark, N_DOCS, hot_repeat=500), out, segment_size=64, num_buckets=16)
+    reader = IndexReader(spark, out)
+    return PlanExecutor(reader.docs, reader)
+
+
+MODEL = SearchModel(
+    {
+        "_open_": [{"op": "set", "name": "rows", "value": "5"}],
+        "query": {"op": "q", "body": "${value}"},
+        "filter": {
+            "op": "fq",
+            "strict": False,
+            "filters": {"lang": {"body": "lang = '${value}'"}},
+        },
+        "rows": {"op": "set", "name": "rows", "body": "${value:int}"},
+        "page": {"op": "noop"},
+        "facet": {
+            "op": "facet",
+            "facets": {
+                "lang": {"type": "field", "body": "{!key=${key}}lang"},
+                "py_docs": {"type": "query", "body": "{!key=${key}}lang = 'py'"},
+            },
+        },
+        "_close_": [
+            {"op": "get", "name": "/page"},
+            {
+                "op": "if",
+                "get": "/page",
+                "do": [{"op": "set", "name": "start", "body": "${value:int}"}],
+            },
+        ],
+    }
+)
+
+
+def test_search_lifecycle_scored(engine):
+    rsp = engine.search(MODEL, {"query": "posting segment", "rows": 3.0})
+    docs = rsp["response"]["docs"]
+    assert len(docs) == 3
+    assert docs[0]["score"] >= docs[1]["score"] >= docs[2]["score"]
+    assert rsp["response"]["numFound"] > 3
+
+
+def test_search_with_filter_and_facets(engine):
+    rsp = engine.search(
+        MODEL,
+        {"query": "posting", "filter": {"lang": "py"}, "facet": ["lang", "py_docs"]},
+    )
+    assert all(d["lang"] == "py" for d in rsp["response"]["docs"])
+    facets = rsp["facets"]
+    assert set(facets["lang"]["buckets"][0]) == {"val", "count"}
+    assert facets["lang"]["buckets"][0]["val"] == "py"  # filtered domain → all py
+    assert facets["py_docs"] == rsp["response"]["numFound"]
+
+
+def test_search_unscored_sort_paging(engine):
+    model = SearchModel(
+        {
+            "sortBy": {"op": "sortBy", "map": {"size": "doc_len desc,doc_id asc"}},
+            "rows": {"op": "set", "name": "rows", "body": "${value:int}"},
+            "start": {"op": "set", "name": "start", "body": "${value:int}"},
+            "fl": {"op": "set", "name": "fl", "body": "${value}"},
+        }
+    )
+    rsp = engine.search(
+        model, {"sortBy": "size", "rows": 4.0, "start": 2.0, "fl": "doc_id,doc_len"}
+    )
+    docs = rsp["response"]["docs"]
+    assert len(docs) == 4
+    assert set(docs[0]) == {"doc_id", "doc_len"}
+    lens = [d["doc_len"] for d in docs]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_nested_search_collect(engine):
+    """B8/J1 — inner search collects field values into currentValue, outer
+    query interpolates them (decorrelated IN-subquery)."""
+    model = SearchModel(
+        {
+            "find": [
+                {
+                    "op": "search",
+                    "collect": "lang",
+                    "model": {
+                        "q": {"op": "q", "body": "${value}"},
+                        "_open_": [
+                            {"op": "set", "name": "rows", "value": "3"},
+                            {"op": "set", "name": "fl", "value": "doc_id,lang"},
+                        ],
+                    },
+                    "json": {"q": "${find}"},
+                },
+                {"op": "set", "name": "inner_langs", "body": "${value:join(separator=',')}"},
+            ]
+        }
+    )
+    rsp = engine.search(model, {"find": "posting segment"})
+    langs = rsp["responseHeader"]["params"]["inner_langs"][0]
+    assert langs and all(l in {"py", "java", "js", "go", "rs"} for l in langs.split(","))
+
+
+def test_rerank_elevation(spark, engine):
+    docs = engine.collection
+    blocks = [
+        ElevationBlock(filters=["lang = 'go'"], rows=2, sort="doc_id asc"),
+        ElevationBlock(filters=["lang = 'go'"], rows=2, sort="doc_id asc"),
+    ]
+    strata = collect_elevation_ids(docs, blocks)
+    assert len(strata[0]) == 2 and len(strata[1]) == 2
+    assert not set(strata[0]) & set(strata[1])  # progressive exclusion
+
+    results = docs.select("doc_id").withColumn("score", F.lit(1.0)).limit(50)
+    ranked = [r["doc_id"] for r in elevate(results, strata).collect()]
+    want_top = [i for i in strata[0] + strata[1] if i in set(ranked)]
+    assert ranked[: len(want_top)] == want_top
+
+
+def test_split_and_highlight(spark, engine):
+    reader = engine.reader
+    topk = reader.search("posting segment", 40)
+    scored = reader.docs.join(topk, "doc_id")
+    main, split = split_results(scored, "lang = 'py'", main_rows=5, split_rows=5)
+    m, s = main.collect(), split.collect()
+    assert all(r["lang"] != "py" for r in m)
+    assert all(r["lang"] == "py" for r in s)
+    hl = highlight(split.limit(3), "posting segment").collect()
+    assert any(r["highlight"] and "<em>" in r["highlight"] for r in hl)
+
+
+def test_bulk_update_dryrun_track_and_apply(engine):
+    docs = engine.collection
+    res = bulk_update(docs, ["lang = 'rs'"], dryrun=True)
+    n_rs = res["numFound"]
+    assert res["dryrun"] and n_rs > 0
+
+    res = bulk_update(
+        docs,
+        ["lang = 'rs'"],
+        transform=lambda df: df.withColumn("lang", F.lit("rust")),
+        track=True,
+    )
+    assert res["numFound"] == n_rs
+    assert len(res["ids"]) == n_rs
+    updated = res["updated"]
+    assert updated.count() == docs.count()
+    assert updated.filter("lang = 'rust'").count() == n_rs
+    assert updated.filter("lang = 'rs'").count() == 0
+
+
+def test_bulk_contains_guard(engine):
+    docs = engine.collection
+    all_n = bulk_update(docs, [], dryrun=True)["numFound"]
+    some = bulk_update(docs, [], contains="hotTermZipfianStorm", dryrun=True)["numFound"]
+    assert some == 1 and all_n == N_DOCS
+
+
+def test_query_log_stats(spark, tmp_path):
+    lines = [
+        '[reporting] 2024-01-02T10:00:00 query="alpha" numFound=5 time=12',
+        '[reporting] 2024-01-02T11:00:00 query="alpha" numFound=5 time=20 spellcheck=true',
+        '[reporting] 2024-01-03T10:00:00 query="beta" numFound=0 time=7',
+        "noise line that does not match",
+    ]
+    p = tmp_path / "search.log.2024-01-02"
+    p.write_text("\n".join(lines))
+    log = read_query_log(spark, str(tmp_path / "search.log*"))
+    assert log.count() == 3
+    top = top_queries(log, min_count=1, limit=10).collect()
+    assert top[0]["q"] == "alpha" and top[0]["count"] == 2
+    zero = top_queries(log, bucket="zero").collect()
+    assert [r["q"] for r in zero] == ["beta"]
+    sc = top_queries(log, bucket="spellcheck").collect()
+    assert [r["q"] for r in sc] == ["alpha"]
+    days = latency_stats(log).collect()
+    assert len(days) == 2 and days[0]["n"] == 2
+
+
+def test_html_to_text_golden():
+    # HtmlReaderTest.java:13-19 golden
+    html = "Does <p style=\"color:#000;\" id='my'>it really <br><span>work</span></p>?"
+    assert html_to_text(html) == "Does it really work?"
+    assert html_to_text("<script>var x=1;</script>hi &amp; bye") == "hi & bye"
+
+
+def test_charset_sniffing():
+    assert sniff_charset(b'\xef\xbb\xbf<?xml version="1.0"?>') == "utf-8"
+    assert sniff_charset(b'<?xml version="1.0" encoding="ISO-8859-1"?>') == "iso-8859-1"
+    assert decode_xml_bytes("<a>é</a>".encode("utf-8")) == "<a>é</a>"
+
+
+def test_transform_xml_plumbing(spark):
+    df = spark.createDataFrame([("f1", "<doc><t>Hello</t></doc>")], "path string, xml string")
+    out = transform_xml(df, lambda x: x.upper(), keep_raw=True).collect()[0]
+    assert out["doc"] == "<DOC><T>HELLO</T></DOC>"
+    assert out["xml"].startswith("<doc>")  # raw retained
+
+
+def test_json_sink(spark):
+    df = spark.createDataFrame([(1, 'say "hi"')], "id long, t string")
+    arr = docs_json_array(df)
+    assert arr == '[{"id":1,"t":"say \\"hi\\""}]'
+    assert to_response_docs(df) == [{"id": 1, "t": 'say "hi"'}]
