@@ -58,6 +58,30 @@ UNICODE_COMMENTS = ["# поиск по индексу", "// 倒排索引合并",
 _WORDS = CAMEL + SNAKE + SCREAMING + KEYWORDS + LITERALS + PUNCT
 _WORD_ARR = np.array(_WORDS, dtype=object)
 
+# Zipfian identifier pool: real code vocabularies grow with the corpus (file-
+# local names). Single-token lowercase base-26 stems, 20% wrapped camelCase.
+# Drawn with a zipf(1.4) rank distribution → few hot identifiers, long tail —
+# the df distribution that makes block-max WAND (and salting) meaningful.
+_ID_POOL_SIZE = 50_000
+
+
+def _b26(j: int) -> str:
+    s = []
+    j += 26**3  # min length 4 (avoid the len<2 analyzer drop + collisions)
+    while j:
+        s.append(chr(ord("a") + j % 26))
+        j //= 26
+    return "".join(reversed(s))
+
+
+_ID_POOL = np.array(
+    [
+        f"get{_b26(j).capitalize()}" if j % 5 == 0 else _b26(j)
+        for j in range(_ID_POOL_SIZE)
+    ],
+    dtype=object,
+)
+
 ALL_STOPWORD_CONTENT = "the and for with this that import return if else def class"
 UNICODE_ONLY_CONTENT = "инвертированный индекс 索引 合并 δοκιμή κώδικα übersicht"
 DUP_CONTENT = "def duplicateContentMarker(shared_payload):\n    return shared_payload\n"
@@ -79,10 +103,19 @@ def _content_for(i: int, hot_repeat: int) -> str:
     rng = np.random.Generator(np.random.Philox(key=SEED, counter=[0, 0, 0, i]))
     n_lines = int(rng.integers(10, 80))
     words_per_line = rng.integers(3, 10, size=n_lines)
-    picks = rng.integers(0, len(_WORD_ARR), size=int(words_per_line.sum()))
+    total = int(words_per_line.sum())
+    picks = rng.integers(0, len(_WORD_ARR), size=total)
+    words = _WORD_ARR[picks]
+    # ~40% of slots become Zipf-ranked identifiers (realistic code vocabulary)
+    id_mask = rng.random(total) < 0.4
+    n_ids = int(id_mask.sum())
+    if n_ids:
+        ranks = (rng.zipf(1.4, size=n_ids) - 1) % _ID_POOL_SIZE
+        words = words.copy()
+        words[id_mask] = _ID_POOL[ranks]
     lines, pos = [], 0
     for w in words_per_line:
-        lines.append(" ".join(_WORD_ARR[picks[pos : pos + w]]))
+        lines.append(" ".join(words[pos : pos + w]))
         pos += int(w)
     if rng.random() < 0.05:
         lines.append(UNICODE_COMMENTS[int(rng.integers(0, len(UNICODE_COMMENTS)))])

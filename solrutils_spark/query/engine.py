@@ -23,6 +23,7 @@ in that case to keep exactness (θ would be computed over excluded docs).
 from __future__ import annotations
 
 import math
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -44,6 +45,7 @@ class IndexReader:
         self.stats = read_stats(index_dir)
         self.index = read_index(spark, index_dir)
         self._docs: DataFrame | None = None
+        self._df_cache: dict[str, int] = {}
 
     @property
     def docs(self) -> DataFrame:
@@ -62,15 +64,46 @@ class IndexReader:
         )
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per query term. Served from the bucket-partitioned
+        ``termdf`` sidecar via direct pyarrow reads (no Spark job — the
+        lookup touches ≤ |query terms| bucket directories and is cached);
+        falls back to a Spark aggregation for indexes built before the
+        sidecar existed."""
         if not terms:
             return {}
-        rows = (
-            self._candidate_rows(terms)
-            .groupBy("term")
-            .agg(F.sum("df_part").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            sidecar = Path(self.index_dir) / "termdf"
+            if sidecar.exists():
+                self._df_cache.update(self._sidecar_dfs(sidecar, missing))
+            else:
+                rows = (
+                    self._candidate_rows(missing)
+                    .groupBy("term")
+                    .agg(F.sum("df_part").alias("df"))
+                    .collect()
+                )
+                self._df_cache.update({r["term"]: int(r["df"]) for r in rows})
+                for t in missing:
+                    self._df_cache.setdefault(t, 0)
+        return {t: self._df_cache[t] for t in terms if self._df_cache.get(t)}
+
+    def _sidecar_dfs(self, sidecar: Path, terms: list[str]) -> dict[str, int]:
+        import pyarrow.dataset as ds
+
+        out = {t: 0 for t in terms}
+        buckets = sorted({term_bucket(t, self.stats["num_buckets"]) for t in terms})
+        for b in buckets:
+            bdir = sidecar / f"bucket={b}"
+            if not bdir.exists():
+                continue
+            table = ds.dataset(str(bdir)).to_table(
+                columns=["term", "df"],
+                filter=ds.field("term").isin(terms),
+            )
+            for t, d in zip(table["term"].to_pylist(), table["df"].to_pylist()):
+                out[t] = int(d)
+        return out
 
     def search(
         self,
@@ -109,6 +142,116 @@ class IndexReader:
         if offset:
             ranked = ranked.offset(offset)
         return ranked
+
+    def search_batch(
+        self, queries: list[tuple[int, str, int]]
+    ) -> DataFrame:
+        """Score MANY queries in ONE Spark job → (query_id, doc_id, score, rank).
+
+        The throughput path for offline evaluation / reranking pipelines:
+        candidate rows for the UNION of all query terms are fetched once,
+        each salt-slice scores every query locally (shared decode within the
+        slice), and a per-query window takes global top-k. Per-query results
+        are rank-identical to :meth:`search` (same kernel, same stats).
+        """
+        from pyspark.sql import Window
+
+        all_terms = sorted({t for _, q, _ in queries for t in query_terms(q)})
+        dfs = self.term_dfs(all_terms)
+        plans = []
+        for qid, qtext, k in queries:
+            terms = [t for t in query_terms(qtext) if dfs.get(t)]
+            if terms:
+                plans.append((qid, {t: self.idf(dfs[t]) for t in terms}, k))
+        if not plans:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rank int"
+            )
+        avgdl = float(self.stats["avgdl"])
+        live_terms = sorted({t for _, idfs, _ in plans for t in idfs})
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, idfs, k in plans:
+                rows = pdf[pdf["term"].isin(idfs)]
+                if rows.empty:
+                    continue
+                d, s = topk_slice(rows, idfs, avgdl, k, use_wand=True)
+                if d.size:
+                    outs.append(pd.DataFrame({"query_id": qid, "doc_id": d, "score": s}))
+            if not outs:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                    {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        cand = self._candidate_rows(live_terms)
+        sliced = cand.groupBy("salt").applyInPandas(
+            kernel, "query_id long, doc_id long, score double"
+        )
+        k_map = {qid: k for qid, _, k in plans}
+        k_df = self.spark.createDataFrame(
+            [(qid, k) for qid, k in k_map.items()], "query_id long, k int"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            sliced.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(k_df), "query_id")
+            .filter(F.col("rank") <= F.col("k"))
+            .drop("k")
+        )
+
+    def search_local(
+        self,
+        query_text: str,
+        k: int = 10,
+        *,
+        offset: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Low-latency serving path: SAME on-disk index, SAME WAND kernel,
+        but candidate rows are read directly with pyarrow (bucket-directory
+        pruned + term-filtered) and scored on the driver — no Spark job.
+
+        Rank-identical to :meth:`search` by construction (shared kernel,
+        shared stats); pinned by tests. Use for interactive/point queries —
+        the distributed path remains the scale/batch road (a single query's
+        candidate postings fit driver memory whenever the query is
+        interactive; a query hot enough to break that belongs on the batch
+        path)."""
+        import pyarrow.dataset as ds
+
+        terms = query_terms(query_text)
+        dfs = self.term_dfs(terms)
+        terms = [t for t in terms if dfs.get(t)]
+        if not terms:
+            return []
+        idf_by_term = {t: self.idf(dfs[t]) for t in terms}
+        avgdl = float(self.stats["avgdl"])
+        fetch_k = k + offset
+
+        buckets = sorted({term_bucket(t, self.stats["num_buckets"]) for t in terms})
+        frames = []
+        index_root = Path(self.index_dir) / "index"
+        for b in buckets:
+            bdir = index_root / f"bucket={b}"
+            if not bdir.exists():
+                continue
+            tbl = ds.dataset(str(bdir)).to_table(filter=ds.field("term").isin(terms))
+            if tbl.num_rows:
+                frames.append(tbl.to_pandas())
+        if not frames:
+            return []
+        cand = pd.concat(frames, ignore_index=True)
+
+        all_docs, all_scores = [], []
+        for _salt, rows in cand.groupby("salt"):
+            d, s = topk_slice(rows, idf_by_term, avgdl, fetch_k, use_wand=True)
+            all_docs.append(d)
+            all_scores.append(s)
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        sel = np.lexsort((docs, -scores))[offset : offset + k]
+        return [(int(docs[i]), float(scores[i])) for i in sel]
 
     def fetch(self, topk: DataFrame, fields: list[str] | None = None) -> DataFrame:
         """J3 — stored-field fetch: broadcast the tiny top-k against docs."""

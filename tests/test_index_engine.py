@@ -129,3 +129,33 @@ def test_resume_byte_identical(spark, tmp_path):
     a = [(r["term"], r["salt"], bytes(r["payload"])) for r in full_idx.collect()]
     b = [(r["term"], r["salt"], bytes(r["payload"])) for r in res_idx.collect()]
     assert a == b  # byte-identical per (term, salt)
+
+
+@pytest.mark.parametrize("qid,qtext,k", [q for q in reference_queries() if q[0] % 3 == 0])
+def test_search_local_rank_identical(reader, oracle, qid, qtext, k):
+    """The pyarrow serving path must equal both the oracle and the Spark path."""
+    expected = oracle.search(qtext, k)
+    got = reader.search_local(qtext, k)
+    assert [d for d, _ in got] == [d for d, _ in expected], f"q{qid} {qtext!r}"
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == pytest.approx(es, abs=1e-9), f"q{qid} doc {gd}"
+
+
+def test_search_local_offset(reader):
+    full = reader.search_local("posting segment", 20)
+    page = reader.search_local("posting segment", 5, offset=5)
+    assert page == full[5:10]
+
+
+def test_search_batch_rank_identical(reader, oracle):
+    qs = [(qid, qtext, k) for qid, qtext, k in reference_queries() if qid % 4 == 0]
+    out = reader.search_batch(qs)
+    by_qid: dict = {}
+    for r in out.collect():
+        by_qid.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in qs:
+        expected = oracle.search(qtext, k)
+        got = sorted(by_qid.get(qid, []))
+        assert [d for _, d, _ in got] == [d for d, _ in expected], f"q{qid} {qtext!r}"
+        for (_, gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9), f"q{qid} doc {gd}"
