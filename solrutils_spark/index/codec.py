@@ -145,6 +145,213 @@ def decode_block(
     return docs, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+# --------------------------------------------------------------------------
+# multi-term vectorized codec — the build/merge hot path.
+#
+# encode_many/decode_many process EVERY term of a segment (or every row of a
+# merge group) in one numpy pass: no per-term Python loop, no pandas
+# groupby-iterate (measured ~150μs/group — the difference between 975 and
+# several-thousand docs/s at build). Byte layout is IDENTICAL to
+# encode_postings/decode_postings (pinned by tests).
+# --------------------------------------------------------------------------
+
+
+def _byte_lengths(v: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(v.size, dtype=np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        nbytes += (x > 0).astype(np.int64)
+        x >>= np.uint64(7)
+    return nbytes
+
+
+def _scatter_varints(out: np.ndarray, offsets: np.ndarray, vals: np.ndarray,
+                     lens: np.ndarray) -> None:
+    for j in range(int(lens.max()) if lens.size else 0):
+        m = lens > j
+        byte = ((vals[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[m] - 1 > j).astype(np.uint8)
+        out[offsets[m] + j] = byte | (cont << 7)
+
+
+class EncodedMany:
+    """Encoded postings for T terms (struct-of-arrays; one payload buffer)."""
+
+    __slots__ = ("payload", "term_byte_start", "term_byte_end", "n_per_term",
+                 "block_offset", "block_last", "block_max_tf", "block_min_dl",
+                 "blocks_per_term")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def row(self, t: int) -> dict:
+        """Materialize term t's columns (payload bytes + metadata lists)."""
+        lo, hi = self.term_byte_start[t], self.term_byte_end[t]
+        b0, b1 = self.blocks_per_term[t], self.blocks_per_term[t + 1]
+        return {
+            "n": int(self.n_per_term[t]),
+            "payload": self.payload[lo:hi].tobytes(),
+            "block_offset": self.block_offset[b0:b1].tolist(),
+            "block_last": self.block_last[b0:b1].tolist(),
+            "block_max_tf": self.block_max_tf[b0:b1].tolist(),
+            "block_min_dl": self.block_min_dl[b0:b1].tolist(),
+        }
+
+
+def encode_many(
+    term_counts: np.ndarray, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> EncodedMany:
+    """Encode T terms' postings in one pass.
+
+    ``term_counts``: postings per term, in output term order; ``docs`` must be
+    sorted ascending WITHIN each term; arrays are the term-order concatenation.
+    """
+    M = int(docs.size)
+    T = int(term_counts.size)
+    docs = np.ascontiguousarray(docs, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    term_starts = np.zeros(T, dtype=np.int64)
+    np.cumsum(term_counts[:-1], out=term_starts[1:])
+
+    # deltas: plain diff everywhere, absolute at term starts
+    d = np.empty(M, dtype=np.int64)
+    d[0] = docs[0]
+    d[1:] = docs[1:] - docs[:-1]
+    d[term_starts] = docs[term_starts]
+    d = d.astype(np.uint64)
+
+    pos_in_term = np.arange(M, dtype=np.int64) - np.repeat(term_starts, term_counts)
+    # (term, block) group starts: every 128th posting within a term
+    flags = (pos_in_term & (BLOCK - 1)) == 0
+    group_starts = np.flatnonzero(flags)
+    G = group_starts.size
+    group_counts = np.diff(np.append(group_starts, M))
+    tb_id = np.cumsum(flags) - 1  # group index per posting
+
+    Ld = _byte_lengths(d)
+    Lt = _byte_lengths(tfs)
+    Ll = _byte_lengths(dls)
+    sum_d = np.add.reduceat(Ld, group_starts)
+    sum_t = np.add.reduceat(Lt, group_starts)
+    sum_l = np.add.reduceat(Ll, group_starts)
+
+    chunk_sizes = np.empty(3 * G, dtype=np.int64)
+    chunk_sizes[0::3] = sum_d
+    chunk_sizes[1::3] = sum_t
+    chunk_sizes[2::3] = sum_l
+    chunk_offsets = np.zeros(3 * G, dtype=np.int64)
+    np.cumsum(chunk_sizes[:-1], out=chunk_offsets[1:])
+    total_bytes = int(chunk_sizes.sum())
+
+    def _excl_prefix(L):
+        cs = np.cumsum(L)
+        base = np.repeat(cs[group_starts] - L[group_starts], group_counts)
+        return (cs - L) - base
+
+    out = np.zeros(total_bytes, dtype=np.uint8)
+    _scatter_varints(out, chunk_offsets[3 * tb_id] + _excl_prefix(Ld), d, Ld)
+    _scatter_varints(out, chunk_offsets[3 * tb_id + 1] + _excl_prefix(Lt), tfs, Lt)
+    _scatter_varints(out, chunk_offsets[3 * tb_id + 2] + _excl_prefix(Ll), dls, Ll)
+
+    # per-term / per-block metadata
+    blocks_per_term_counts = (term_counts + BLOCK - 1) // BLOCK
+    blocks_per_term = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(blocks_per_term_counts, out=blocks_per_term[1:])
+    group_ends = np.append(group_starts[1:], M) - 1
+    block_last = docs[group_ends]
+    block_max_tf = np.maximum.reduceat(tfs, group_starts).astype(np.int64)
+    block_min_dl = np.minimum.reduceat(dls, group_starts).astype(np.int64)
+    # byte start of each term = offset of its first group's delta chunk
+    first_group_of_term = blocks_per_term[:-1]
+    term_byte_start = chunk_offsets[3 * first_group_of_term]
+    term_byte_end = np.append(term_byte_start[1:], total_bytes)
+    block_offset = (chunk_offsets[0::3] - np.repeat(term_byte_start, blocks_per_term_counts)).astype(np.int32)
+
+    return EncodedMany(
+        payload=out,
+        term_byte_start=term_byte_start,
+        term_byte_end=term_byte_end,
+        n_per_term=term_counts.astype(np.int64),
+        block_offset=block_offset,
+        block_last=block_last,
+        block_max_tf=block_max_tf.astype(np.int32),
+        block_min_dl=block_min_dl.astype(np.int32),
+        blocks_per_term=blocks_per_term,
+    )
+
+
+def decode_many(
+    payloads: list[bytes] | np.ndarray, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many rows' postings in one pass → concatenated (docs, tfs, dls).
+
+    Each row's payload is the standard layout; rows are independent (their
+    output is concatenated in input order). One global varint-terminator scan
+    replaces per-row/per-block decode loops.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    R = ns.size
+    if R == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    buf = np.frombuffer(b"".join(bytes(p) for p in payloads), dtype=np.uint8)
+    # global value order: per row: per block: [deltas][tfs][dls]
+    ends = np.flatnonzero((buf & 0x80) == 0)
+    total_vals = int(3 * ns.sum())
+    ends = ends[:total_vals]
+    starts = np.empty(total_vals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(total_vals, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        # explicit astype: uint8 & uint64-scalar stays uint8 in numpy 1.x,
+        # and the <<7 would wrap
+        vals[m] |= (buf[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+
+    # classify each value into its stream: per row r with n postings and
+    # B=ceil(n/128) blocks, value layout is per-block chunks of sizes
+    # (c, c, c) where c = postings in that block
+    blocks_per_row = (ns + BLOCK - 1) // BLOCK
+    # per-block posting counts, row-major
+    tot_blocks = int(blocks_per_row.sum())
+    blk_row = np.repeat(np.arange(R), blocks_per_row)
+    blk_idx_in_row = np.arange(tot_blocks) - np.repeat(
+        np.cumsum(np.append(0, blocks_per_row[:-1])), blocks_per_row
+    )
+    blk_counts = np.minimum(ns[blk_row] - blk_idx_in_row * BLOCK, BLOCK)
+    # chunk sizes in value space: 3 chunks per block, each blk_counts
+    chunk_counts = np.repeat(blk_counts, 3)
+    chunk_stream = np.tile(np.array([0, 1, 2]), tot_blocks)
+    chunk_val_start = np.zeros(chunk_counts.size, dtype=np.int64)
+    np.cumsum(chunk_counts[:-1], out=chunk_val_start[1:])
+
+    out_streams = []
+    for s in range(3):
+        sel = chunk_stream == s
+        cstarts = chunk_val_start[sel]
+        ccounts = chunk_counts[sel]
+        idx = np.repeat(cstarts, ccounts) + (
+            np.arange(int(ccounts.sum()))
+            - np.repeat(np.cumsum(np.append(0, ccounts[:-1])), ccounts)
+        )
+        out_streams.append(vals[idx])
+    deltas, tfs, dls = out_streams
+
+    # deltas → docs: segmented cumsum per ROW (block-initial deltas are plain
+    # diffs, so one cumsum per row reconstructs all blocks)
+    d_i64 = deltas.astype(np.int64)
+    cs = np.cumsum(d_i64)
+    row_val_starts = np.zeros(R, dtype=np.int64)
+    np.cumsum(ns[:-1], out=row_val_starts[1:])
+    base = cs[row_val_starts] - d_i64[row_val_starts]
+    docs = cs - np.repeat(base, ns)
+    return docs, tfs.astype(np.int64), dls.astype(np.int64)
+
+
 def decode_postings(enc_n: int, payload: np.ndarray, block_offset: np.ndarray,
                     block_last: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode the full posting list → (doc_ids, tfs, dls)."""

@@ -2,9 +2,12 @@
 
 Lucene merges segments in background threads (implicit in the reference; the
 commit at BulkUpdateHandler.java:150 publishes them). Our merge is one
-shuffle: ``groupBy(term, salt)`` + ``applyInPandas`` concatenation of the
-per-segment sorted runs (disjoint doc_id ranges by construction — segment_id
-is a doc_id range), then a single re-encode.
+shuffle: ``groupBy(bucket, salt)`` + ``applyInPandas``, where each group
+(≤ num_buckets × num_salts groups) merges ALL of its terms in two vectorized
+codec passes — ``decode_many`` over the sorted segment rows, ``encode_many``
+over the concatenation (codec.py). No per-term Python loop anywhere: measured
+~150μs/group pandas overhead made per-(term,salt) grouping the build
+bottleneck at realistic (Zipfian) vocabularies.
 
 **Salting = the index's term-sharding.** ``salt = segment_id // g`` slices
 the doc space into ``num_salts`` ordered ranges that are THE SAME for every
@@ -33,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solrutils_spark.index.codec import decode_postings, encode_postings
+from solrutils_spark.index.codec import decode_many, encode_many
 
 INDEX_DDL = (
     "bucket int, term string, salt int, df_part long, first_doc long, last_doc long, "
@@ -45,43 +48,53 @@ DEFAULT_BUCKETS = 64
 
 
 def term_bucket(term: str, num_buckets: int = DEFAULT_BUCKETS) -> int:
-    """Deterministic term → partition bucket; same function driver- and executor-side."""
+    """Deterministic term → partition bucket; MUST match the Column expr in
+    :func:`bucket_col` (zlib.crc32 == java.util.zip.CRC32 — pinned by test)."""
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
-def _merge_group(pdf: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
-    term = pdf["term"].iloc[0]
+def bucket_col(term_col, num_buckets: int):
+    return F.pmod(F.crc32(F.encode(term_col, "UTF-8")), F.lit(num_buckets)).cast("int")
+
+
+def _merge_bucket_salt(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge ALL terms of one (bucket, salt) group — two codec passes."""
+    bucket = int(pdf["bucket"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
-    pdf = pdf.sort_values("first_doc")
-    docs_parts, tf_parts, dl_parts = [], [], []
-    for row in pdf.itertuples(index=False):
-        payload = np.frombuffer(row.payload, dtype=np.uint8)
-        d, t, l = decode_postings(
-            int(row.n), payload, np.asarray(row.block_offset), np.asarray(row.block_last)
-        )
-        docs_parts.append(d)
-        tf_parts.append(t)
-        dl_parts.append(l)
-    docs = np.concatenate(docs_parts)
-    tfs = np.concatenate(tf_parts)
-    dls = np.concatenate(dl_parts)
-    enc = encode_postings(docs, tfs, dls)
+    pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
+    ns = pdf["n"].to_numpy(np.int64)
+    docs, tfs, dls = decode_many(pdf["payload"].tolist(), ns)
+
+    term_per_row = pdf["term"].to_numpy()
+    uniq_terms, row_counts = np.unique(term_per_row, return_counts=True)
+    # postings per term = sum of row n within term (rows are term-sorted)
+    row_term_id = np.repeat(np.arange(len(uniq_terms)), row_counts)
+    term_counts = np.bincount(row_term_id, weights=ns).astype(np.int64)
+
+    enc = encode_many(term_counts, docs, tfs, dls)
+    T = len(uniq_terms)
+    term_starts = np.zeros(T, dtype=np.int64)
+    np.cumsum(term_counts[:-1], out=term_starts[1:])
+    payload = enc.payload
+    from solrutils_spark.index.segments import _split_list
+
     return pd.DataFrame(
-        [
-            {
-                "bucket": term_bucket(term, num_buckets),
-                "term": term,
-                "salt": salt,
-                "df_part": enc.n,
-                "first_doc": int(docs[0]),
-                "last_doc": int(docs[-1]),
-                "payload": enc.payload.tobytes(),
-                "block_offset": enc.block_offset.tolist(),
-                "block_last": enc.block_last.tolist(),
-                "block_max_tf": enc.block_max_tf.tolist(),
-                "block_min_dl": enc.block_min_dl.tolist(),
-            }
-        ]
+        {
+            "bucket": np.full(T, bucket, dtype=np.int32),
+            "term": uniq_terms,
+            "salt": np.full(T, salt, dtype=np.int32),
+            "df_part": enc.n_per_term,
+            "first_doc": docs[term_starts],
+            "last_doc": enc.block_last[enc.blocks_per_term[1:] - 1],
+            "payload": [
+                payload[enc.term_byte_start[t] : enc.term_byte_end[t]].tobytes()
+                for t in range(T)
+            ],
+            "block_offset": _split_list(enc.block_offset, enc.blocks_per_term),
+            "block_last": _split_list(enc.block_last, enc.blocks_per_term),
+            "block_max_tf": _split_list(enc.block_max_tf, enc.blocks_per_term),
+            "block_min_dl": _split_list(enc.block_min_dl, enc.blocks_per_term),
+        }
     )
 
 
@@ -91,9 +104,11 @@ def merge_segments(
     """segments → merged, salted, bucketed index DataFrame."""
     n_segments = (segments.agg(F.max("segment_id")).collect()[0][0] or 0) + 1
     g = max(1, -(-n_segments // num_salts))  # ceil
-    salted = segments.withColumn("salt", (F.col("segment_id") / F.lit(g)).cast("int"))
-    return salted.groupBy("term", "salt").applyInPandas(
-        lambda pdf: _merge_group(pdf, num_buckets), schema=INDEX_DDL
+    salted = segments.withColumn(
+        "salt", (F.col("segment_id") / F.lit(g)).cast("int")
+    ).withColumn("bucket", bucket_col(F.col("term"), num_buckets))
+    return salted.groupBy("bucket", "salt").applyInPandas(
+        _merge_bucket_salt, schema=INDEX_DDL
     )
 
 

@@ -45,7 +45,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from solrutils_spark.functions.analyzer import analyze_series
-from solrutils_spark.index.codec import encode_postings
+from solrutils_spark.index.codec import encode_many
+
+
+def _split_list(arr: np.ndarray, boundaries: np.ndarray) -> list:
+    """Slice a flat per-block array into per-term lists (boundaries = prefix)."""
+    return [
+        arr[boundaries[t] : boundaries[t + 1]].tolist()
+        for t in range(len(boundaries) - 1)
+    ]
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -106,7 +114,8 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
         table = pa.table(
             {name: pa.array([], type=SEGMENT_SCHEMA.field(name).type) for name in SEGMENT_SCHEMA.names}
         )
-        terms_records = []
+        n_terms = 0
+        postings_bytes = 0
     else:
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
         dls = np.repeat(lens, lens).astype(np.int64)
@@ -117,34 +126,46 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
             .agg(tf=("dl", "size"), dl=("dl", "first"))
             .reset_index()
         )
-        terms_records = []
-        for term, grp in counted.groupby("term", sort=True):
-            d = grp["doc_id"].to_numpy(dtype=np.int64)
-            enc = encode_postings(d, grp["tf"].to_numpy(np.int64), grp["dl"].to_numpy(np.int64))
-            terms_records.append(
-                {
-                    "segment_id": seg_id,
-                    "term": term,
-                    "n": enc.n,
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "payload": enc.payload.tobytes(),
-                    "block_offset": enc.block_offset.tolist(),
-                    "block_last": enc.block_last.tolist(),
-                    "block_max_tf": enc.block_max_tf.tolist(),
-                    "block_min_dl": enc.block_min_dl.tolist(),
-                }
-            )
-        table = pa.Table.from_pylist(terms_records, schema=SEGMENT_SCHEMA)
+        # one vectorized encode over ALL terms (no per-term Python loop)
+        term_arr = counted["term"].to_numpy()
+        uniq_terms, term_counts = np.unique(term_arr, return_counts=True)
+        d_all = counted["doc_id"].to_numpy(np.int64)
+        enc = encode_many(
+            term_counts, d_all,
+            counted["tf"].to_numpy(np.int64), counted["dl"].to_numpy(np.int64),
+        )
+        n_terms = len(uniq_terms)
+        term_starts = np.zeros(n_terms, dtype=np.int64)
+        np.cumsum(term_counts[:-1], out=term_starts[1:])
+        payload = enc.payload
+        rows = {
+            "segment_id": np.full(n_terms, seg_id, dtype=np.int32),
+            "term": uniq_terms,
+            "n": enc.n_per_term,
+            "first_doc": d_all[term_starts],
+            "last_doc": enc.block_last[enc.blocks_per_term[1:] - 1],
+            "payload": [
+                payload[enc.term_byte_start[t] : enc.term_byte_end[t]].tobytes()
+                for t in range(n_terms)
+            ],
+            "block_offset": _split_list(enc.block_offset, enc.blocks_per_term),
+            "block_last": _split_list(enc.block_last, enc.blocks_per_term),
+            "block_max_tf": _split_list(enc.block_max_tf, enc.blocks_per_term),
+            "block_min_dl": _split_list(enc.block_min_dl, enc.blocks_per_term),
+        }
+        table = pa.Table.from_pydict(
+            {k: pa.array(v, type=SEGMENT_SCHEMA.field(k).type) for k, v in rows.items()},
+            schema=SEGMENT_SCHEMA,
+        )
+        postings_bytes = int(payload.size)
 
     data_path = seg_dir / f"seg={seg_id}.parquet"
     _atomic_write(data_path, lambda p: pq.write_table(table, p, compression="zstd"))
-    postings_bytes = sum(len(r["payload"]) for r in terms_records)
     lineage = {
         "segment_id": seg_id,
         "rows_in": rows_in,
         "bytes_in": bytes_in,
-        "terms_out": len(terms_records),
+        "terms_out": n_terms,
         "tokens": int(lens.sum()),
         "postings_bytes": postings_bytes,
         "status": "committed",

@@ -80,3 +80,57 @@ def test_block_max_bound_validity():
         bound = bound_tf / (bound_tf + K1 * (1 - B + B * bound_dl / avgdl))
         actual = tfs[lo:hi] / (tfs[lo:hi] + K1 * (1 - B + B * dls[lo:hi] / avgdl))
         assert actual.max() <= bound + 1e-12
+
+
+def test_encode_many_byte_identical_to_per_term():
+    from solrutils_spark.index.codec import encode_many
+
+    rng = np.random.default_rng(77)
+    term_counts, all_docs, all_tfs, all_dls = [], [], [], []
+    per_term = []
+    for size in [1, 2, 127, 128, 129, 1000, 3, 1]:
+        d, t, l = _random_postings(size, size * 13 + 1)
+        term_counts.append(size)
+        all_docs.append(d); all_tfs.append(t); all_dls.append(l)
+        per_term.append(encode_postings(d, t, l))
+    enc = encode_many(
+        np.array(term_counts), np.concatenate(all_docs),
+        np.concatenate(all_tfs), np.concatenate(all_dls),
+    )
+    for i, ref in enumerate(per_term):
+        row = enc.row(i)
+        assert row["payload"] == ref.payload.tobytes(), f"term {i} payload"
+        assert row["n"] == ref.n
+        assert row["block_offset"] == ref.block_offset.tolist()
+        assert row["block_last"] == ref.block_last.tolist()
+        assert row["block_max_tf"] == ref.block_max_tf.tolist()
+        assert row["block_min_dl"] == ref.block_min_dl.tolist()
+
+
+def test_decode_many_roundtrip():
+    from solrutils_spark.index.codec import decode_many, encode_many
+
+    sizes = [5, 128, 129, 1, 700]
+    docs_l, tfs_l, dls_l, payloads = [], [], [], []
+    for s in sizes:
+        d, t, l = _random_postings(s, s * 7 + 3)
+        docs_l.append(d); tfs_l.append(t); dls_l.append(l)
+        payloads.append(encode_postings(d, t, l).payload.tobytes())
+    docs, tfs, dls = decode_many(payloads, np.array(sizes))
+    np.testing.assert_array_equal(docs, np.concatenate(docs_l))
+    np.testing.assert_array_equal(tfs, np.concatenate(tfs_l))
+    np.testing.assert_array_equal(dls, np.concatenate(dls_l))
+
+
+def test_bucket_col_matches_python():
+    """query-time term_bucket (zlib.crc32) must equal build-time Spark crc32."""
+    from solrutils_spark.session import get_spark
+    from solrutils_spark.index.merge import bucket_col, term_bucket
+    from pyspark.sql import functions as F
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    terms = ["posting", "merge", "инвертированный", "倒排", "a" * 100, "x"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["term"]: r["b"] for r in df.select("term", bucket_col(F.col("term"), 64).alias("b")).collect()}
+    for t in terms:
+        assert got[t] == term_bucket(t, 64), t
