@@ -63,7 +63,10 @@ def vbyte_decode(buf: np.ndarray, n: int, offset: int = 0) -> tuple[np.ndarray, 
     """
     if n == 0:
         return np.empty(0, dtype=np.uint64), offset
-    b = buf[offset:]
+    # bound the terminator scan: n varints occupy ≤ 10n bytes — without this
+    # the nonzero() scans the entire remaining payload per call (measured 85%
+    # of query time)
+    b = buf[offset : offset + 10 * n]
     term_pos = np.nonzero((b & 0x80) == 0)[0]
     ends = term_pos[:n]
     starts = np.empty(n, dtype=np.int64)
@@ -349,6 +352,57 @@ def decode_many(
     np.cumsum(ns[:-1], out=row_val_starts[1:])
     base = cs[row_val_starts] - d_i64[row_val_starts]
     docs = cs - np.repeat(base, ns)
+    return docs, tfs.astype(np.int64), dls.astype(np.int64)
+
+
+def decode_run(
+    payload: np.ndarray,
+    n: int,
+    block_offset: np.ndarray,
+    i0: int,
+    i1: int,
+    prev_last: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode blocks [i0, i1) of one term in ONE vectorized pass.
+
+    ``prev_last`` = last doc of block i0-1 (ignored when i0 == 0, where the
+    first delta is absolute). The per-block python loop this replaces cost
+    ~0.25ms/block; a run decode is one terminator scan + one de-interleave.
+    """
+    counts = np.minimum(n - np.arange(i0, i1, dtype=np.int64) * BLOCK, BLOCK)
+    total = int(counts.sum())
+    byte_start = int(block_offset[i0])
+    byte_end = int(block_offset[i1]) if i1 < len(block_offset) else payload.size
+    seg = payload[byte_start:byte_end]
+
+    ends = np.flatnonzero((seg & 0x80) == 0)[: 3 * total]
+    starts = np.empty(3 * total, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(3 * total, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (seg[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+
+    # de-interleave [d c][t c][l c] per block
+    chunk_counts = np.repeat(counts, 3)
+    chunk_stream = np.tile(np.array([0, 1, 2]), i1 - i0)
+    chunk_start = np.zeros(chunk_counts.size, dtype=np.int64)
+    np.cumsum(chunk_counts[:-1], out=chunk_start[1:])
+    outs = []
+    for s in range(3):
+        sel = chunk_stream == s
+        cstarts = chunk_start[sel]
+        ccounts = chunk_counts[sel]
+        idx = np.repeat(cstarts, ccounts) + (
+            np.arange(total) - np.repeat(np.cumsum(np.append(0, ccounts[:-1])), ccounts)
+        )
+        outs.append(vals[idx])
+    deltas, tfs, dls = outs
+    docs = np.cumsum(deltas.astype(np.int64))
+    if i0 > 0:
+        docs += prev_last
     return docs, tfs.astype(np.int64), dls.astype(np.int64)
 
 

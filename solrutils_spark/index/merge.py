@@ -115,7 +115,10 @@ def merge_segments(
 def write_index(index: DataFrame, out_dir: str) -> None:
     (
         index.repartition("bucket")
+        .sortWithinPartitions("term", "salt")  # row-group min/max stats on
+        # term → parquet predicate pushdown skips row groups at query time
         .write.mode("overwrite")
+        .option("parquet.block.size", 1024 * 1024)
         .partitionBy("bucket")
         .parquet(str(Path(out_dir) / "index"))
     )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from solrutils_spark.index.builder import read_docs, read_stats
 from solrutils_spark.index.merge import read_index, term_bucket
 from solrutils_spark.query.exact import query_terms
-from solrutils_spark.query.wand import topk_slice
+from solrutils_spark.query.wand import topk_rows, topk_slice
 
 TOPK_DDL = "doc_id long, score double"
 
@@ -242,16 +242,11 @@ class IndexReader:
         if not frames:
             return []
         cand = pd.concat(frames, ignore_index=True)
-
-        all_docs, all_scores = [], []
-        for _salt, rows in cand.groupby("salt"):
-            d, s = topk_slice(rows, idf_by_term, avgdl, fetch_k, use_wand=True)
-            all_docs.append(d)
-            all_scores.append(s)
-        docs = np.concatenate(all_docs)
-        scores = np.concatenate(all_scores)
-        sel = np.lexsort((docs, -scores))[offset : offset + k]
-        return [(int(docs[i]), float(scores[i])) for i in sel]
+        docs, scores = topk_rows(cand, idf_by_term, avgdl, fetch_k)
+        return [
+            (int(docs[i]), float(scores[i]))
+            for i in range(offset, min(fetch_k, docs.size))
+        ]
 
     def fetch(self, topk: DataFrame, fields: list[str] | None = None) -> DataFrame:
         """J3 — stored-field fetch: broadcast the tiny top-k against docs."""

@@ -30,12 +30,142 @@ import numpy as np
 import pandas as pd
 
 from solrutils_spark.functions.analyzer import B, K1
-from solrutils_spark.index.codec import BLOCK, decode_block
+from solrutils_spark.index.codec import BLOCK, decode_run
 
 
 def _tf_norm_bound(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
     mt = max_tf.astype(np.float64)
     return mt / (mt + K1 * (1.0 - B + B * min_dl.astype(np.float64) / avgdl))
+
+
+def _range_max(values: np.ndarray, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """max(values[left_i:right_i]) per range, 0.0 for empty ranges — one
+    ``maximum.reduceat`` instead of a Python loop per block (left/right are
+    non-decreasing because block doc-ranges ascend and values' keys are sorted)."""
+    out = np.zeros(left.size, dtype=np.float64)
+    valid = right > left
+    if not valid.any() or values.size == 0:
+        return out
+    padded = np.append(values, 0.0)  # allows right == size as a segment end
+    idx = np.empty(2 * left.size, dtype=np.int64)
+    idx[0::2] = left
+    idx[1::2] = right
+    red = np.maximum.reduceat(padded, idx)[0::2]
+    out[valid] = red[valid]
+    return out
+
+
+def topk_rows(
+    term_rows: pd.DataFrame,
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Serving-path variant: process ALL (term, salt) rows with one shared θ.
+
+    A doc appears in exactly one salt per term (disjoint doc ranges), so the
+    skip certificate from :func:`topk_slice` holds row-by-row with a GLOBAL
+    accumulator: acc_max_in_block + block_ub + Σ ub(unprocessed terms) < θ.
+    Sharing θ across salts prunes strictly more than per-slice kernels, and
+    there is no per-slice python/pandas overhead. Rank-identical (prune-only).
+    """
+    order = np.lexsort(
+        (
+            term_rows["salt"].to_numpy(),
+            term_rows["term"].to_numpy(),
+        )
+    )
+    rows = term_rows.iloc[order]
+    # per-term max upper bound across its rows (sound: a doc sees one row/term)
+    term_ub: dict[str, float] = {}
+    row_ub = []
+    for row in rows.itertuples(index=False):
+        idf = idf_by_term[row.term]
+        bb = _tf_norm_bound(np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl)
+        ub = float(idf * bb.max()) if len(bb) else 0.0
+        row_ub.append(ub)
+        term_ub[row.term] = max(term_ub.get(row.term, 0.0), ub)
+    # processing order: terms by df asc (global df = sum df_part), salts asc
+    df_by_term: dict[str, int] = {}
+    for row in rows.itertuples(index=False):
+        df_by_term[row.term] = df_by_term.get(row.term, 0) + int(row.df_part)
+    terms_sorted = sorted(term_ub, key=lambda t: (df_by_term[t], t))
+    remaining_after = {}
+    acc_ub = 0.0
+    for t in reversed(terms_sorted):
+        remaining_after[t] = acc_ub
+        acc_ub += term_ub[t]
+
+    acc_docs = np.empty(0, dtype=np.int64)
+    acc_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    rows_by_term: dict[str, list] = {}
+    for row in rows.itertuples(index=False):
+        rows_by_term.setdefault(row.term, []).append(row)
+
+    for t in terms_sorted:
+        idf = idf_by_term[t]
+        rem = remaining_after[t]
+        # a doc appears in exactly one salt row of term t, so all of t's rows
+        # can decode against the SAME acc snapshot (their doc ranges are
+        # disjoint — the range-max certificate never sees a same-term update)
+        # and merge into acc ONCE per term: rows-1 fewer O(A log A) merges
+        term_parts_d, term_parts_c = [], []
+        for row in rows_by_term[t]:
+            payload = np.frombuffer(row.payload, dtype=np.uint8)
+            block_offset = np.asarray(row.block_offset, dtype=np.int32)
+            block_last = np.asarray(row.block_last, dtype=np.int64)
+            n = int(row.df_part)
+            n_blocks = len(block_offset)
+            prev_lasts = np.empty(n_blocks, dtype=np.int64)
+            prev_lasts[0] = int(row.first_doc) - 1
+            prev_lasts[1:] = block_last[:-1]
+
+            if np.isfinite(theta):
+                block_ub = idf * _tf_norm_bound(
+                    np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl
+                )
+                left = np.searchsorted(acc_docs, prev_lasts, side="right")
+                right = np.searchsorted(acc_docs, block_last, side="right")
+                max_acc = _range_max(acc_scores, left, right)
+                keep = np.maximum(max_acc, 0.0) + block_ub + rem >= theta
+            else:
+                keep = np.ones(n_blocks, dtype=bool)
+
+            kept = np.flatnonzero(keep)
+            if kept.size == 0:
+                continue
+            run_breaks = np.flatnonzero(np.diff(kept) > 1) + 1
+            for run in np.split(kept, run_breaks):
+                i0, i1 = int(run[0]), int(run[-1]) + 1
+                d, tf, dl = decode_run(payload, n, block_offset, i0, i1, int(prev_lasts[i0]))
+                tfv = tf.astype(np.float64)
+                term_parts_c.append(
+                    idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+                )
+                term_parts_d.append(d)
+        if term_parts_d:
+            # salt rows are sorted by doc range, so concatenation is sorted
+            nd = np.concatenate(term_parts_d)
+            nc = np.concatenate(term_parts_c)
+            all_docs = np.concatenate([acc_docs, nd])
+            all_scores = np.concatenate([acc_scores, nc])
+            order2 = np.argsort(all_docs, kind="mergesort")
+            sd = all_docs[order2]
+            ss = all_scores[order2]
+            boundaries = np.empty(sd.size, dtype=bool)
+            boundaries[0] = True
+            boundaries[1:] = sd[1:] != sd[:-1]
+            starts = np.flatnonzero(boundaries)
+            acc_docs = sd[starts]
+            acc_scores = np.add.reduceat(ss, starts)
+        if acc_docs.size >= k:
+            theta = np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k]
+
+    if acc_docs.size == 0:
+        return acc_docs, acc_scores
+    sel = np.lexsort((acc_docs, -acc_scores))[: min(k, acc_docs.size)]
+    return acc_docs[sel], acc_scores[sel]
 
 
 def topk_slice(
@@ -93,18 +223,18 @@ def topk_slice(
             # range-max of acc inside each block's (prev_last, last] doc range
             left = np.searchsorted(acc_docs, prev_lasts, side="right")
             right = np.searchsorted(acc_docs, block_last, side="right")
-            max_acc = np.zeros(n_blocks, dtype=np.float64)
-            nonempty = right > left
-            if nonempty.any() and acc_scores.size:
-                for bi in np.flatnonzero(nonempty):  # ≤ n_blocks iterations
-                    max_acc[bi] = acc_scores[left[bi] : right[bi]].max()
+            max_acc = _range_max(acc_scores, left, right)
             keep = np.maximum(max_acc, 0.0) + block_ub + remaining_after[t_idx] >= theta
         else:
             keep = np.ones(n_blocks, dtype=bool)
 
+        # decode contiguous runs of kept blocks in single vectorized passes
         new_docs_parts, contrib_parts = [], []
-        for bi in np.flatnonzero(keep):
-            d, tf, dl = decode_block(payload, n, int(bi), block_offset, int(prev_lasts[bi]))
+        kept = np.flatnonzero(keep)
+        run_breaks = np.flatnonzero(np.diff(kept) > 1) + 1
+        for run in np.split(kept, run_breaks) if kept.size else []:
+            i0, i1 = int(run[0]), int(run[-1]) + 1
+            d, tf, dl = decode_run(payload, n, block_offset, i0, i1, int(prev_lasts[i0]))
             tfv = tf.astype(np.float64)
             contrib = idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
             new_docs_parts.append(d)

@@ -134,3 +134,18 @@ def test_bucket_col_matches_python():
     got = {r["term"]: r["b"] for r in df.select("term", bucket_col(F.col("term"), 64).alias("b")).collect()}
     for t in terms:
         assert got[t] == term_bucket(t, 64), t
+
+
+def test_decode_run_matches_blocks():
+    from solrutils_spark.index.codec import decode_run
+
+    d, t, l = _random_postings(1000, 99)
+    enc = encode_postings(d, t, l)
+    nb = len(enc.block_offset)
+    for i0, i1 in [(0, nb), (0, 1), (3, 7), (nb - 1, nb), (2, 3)]:
+        prev = int(enc.block_last[i0 - 1]) if i0 > 0 else 0
+        dd, tt, ll = decode_run(enc.payload, enc.n, enc.block_offset, i0, i1, prev)
+        lo, hi = i0 * BLOCK, min(i1 * BLOCK, enc.n)
+        np.testing.assert_array_equal(dd, d[lo:hi])
+        np.testing.assert_array_equal(tt, t[lo:hi])
+        np.testing.assert_array_equal(ll, l[lo:hi])

@@ -159,3 +159,18 @@ def test_search_batch_rank_identical(reader, oracle):
         assert [d for _, d, _ in got] == [d for d, _ in expected], f"q{qid} {qtext!r}"
         for (_, gd, gs), (_, es) in zip(got, expected):
             assert gs == pytest.approx(es, abs=1e-9), f"q{qid} doc {gd}"
+
+
+def test_spellcheck_suggestions(spark, reader, index_dir):
+    from solrutils_spark.query.spellcheck import spellcheck_query, suggest, vocabulary
+
+    vocab = vocabulary(spark, index_dir)
+    # "postin" is a typo of "posting" (in-vocab, high df)
+    cands = suggest(vocab, "postin").collect()
+    assert cands and cands[0]["suggestion"] == "posting"
+    terms = ["postin", "segment"]
+    dfs = reader.term_dfs(terms)
+    section = spellcheck_query(vocab, terms, dfs)
+    assert not section["correctlySpelled"]
+    assert section["collation"] == "posting segment"
+    assert section["suggestions"]["postin"][0]["word"] == "posting"

@@ -1,0 +1,71 @@
+"""Streaming surfaces: incremental index append + windowed query stats."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from solrutils_spark.corpus import synth_corpus
+from solrutils_spark.index.builder import build_index
+from solrutils_spark.index.docs import build_docs
+from solrutils_spark.index.merge import merge_segments
+from solrutils_spark.index.segments import read_segments
+from solrutils_spark.streaming.incremental import (
+    incremental_index_writer,
+    streaming_query_stats,
+)
+
+
+def test_incremental_batches_equal_one_shot(spark, tmp_path):
+    """Two foreachBatch micro-batches == one batch build (byte-identical)."""
+    corpus = synth_corpus(spark, 200, hot_repeat=500)
+    docs = build_docs(corpus).cache()
+
+    inc_dir = str(tmp_path / "inc")
+    writer = incremental_index_writer(inc_dir, segment_size=32)
+    writer(docs.filter("doc_id < 96"), batch_id=0)
+    writer(docs.filter("doc_id >= 96"), batch_id=1)
+    # re-delivery of batch 0 must be a no-op (lineage idempotence)
+    writer(docs.filter("doc_id < 96"), batch_id=0)
+
+    one_dir = str(tmp_path / "one")
+    build_index(corpus, one_dir, segment_size=32, num_salts=2, num_buckets=8)
+
+    inc_idx = merge_segments(read_segments(spark, inc_dir), num_salts=2, num_buckets=8)
+    a = sorted(
+        (r["term"], r["salt"], bytes(r["payload"])) for r in inc_idx.collect()
+    )
+    b = sorted(
+        (r["term"], r["salt"], bytes(r["payload"]))
+        for r in spark.read.parquet(one_dir + "/index").collect()
+    )
+    assert a == b
+
+
+def test_streaming_query_stats(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "q": "alpha", "num_found": 3},
+        {"ts": "2024-01-01T11:00:00", "q": "alpha", "num_found": 0},
+        {"ts": "2024-01-02T09:00:00", "q": "beta", "num_found": 7},
+    ]
+    (src / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, q string, num_found long")
+        .json(str(src))
+    )
+    agg = streaming_query_stats(stream, window="1 day", watermark="1 hour")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("qstats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    out = {(str(r["window_start"])[:10], r["q"]): (r["count"], r["zero_count"])
+           for r in spark.sql("select * from qstats").collect()}
+    assert out[("2024-01-01", "alpha")] == (2, 1)
+    assert out[("2024-01-02", "beta")] == (1, 0)
