@@ -44,7 +44,7 @@ out = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
 corpus = synth_corpus(spark, n_docs, hot_repeat=100_000, partitions=max(cpus * 2, 16))
 t0 = time.perf_counter()
 build_index(corpus, out, segment_size=max(128, n_docs // (cpus * 4)),
-            num_salts=8, num_buckets=64)
+            num_salts=4 * cpus, num_buckets=64)
 build_sec = time.perf_counter() - t0
 
 reader = IndexReader(spark, out)
