@@ -24,8 +24,13 @@ the response carries only top-k rows and facet buckets to the driver.
 
 from __future__ import annotations
 
+import logging
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+LOG = logging.getLogger("solrutils_spark.search")
 
 from solrutils_spark.operators.facets import (
     field_facet,
@@ -51,10 +56,26 @@ class PlanExecutor:
 
     # -- public API ----------------------------------------------------------
     def search(self, model: SearchModel, json_query: dict) -> dict:
-        """Full lifecycle: compile JSON → plan → execute → response dict."""
+        """Full lifecycle: compile JSON → plan → execute → response dict.
+
+        Appends ``RTime`` (total request wall ms) to the response header and
+        emits the reference's ``[reporting] query numFound time`` log record
+        (CustomSearchHandler.java:111,186,256-258) — consumable by
+        :mod:`solrutils_spark.operators.stats_report`.
+        """
+        t0 = time.perf_counter()
         plan = QueryPlan(searcher=self.execute)
         model.build(plan, json_query)
-        return self.execute(plan)
+        response = self.execute(plan)
+        rtime = int(1000 * (time.perf_counter() - t0))
+        response.setdefault("responseHeader", {})["RTime"] = rtime
+        q = plan.get_param("q", "")
+        num_found = response.get("response", {}).get("numFound", 0)
+        LOG.info(
+            '[reporting] %s query="%s" numFound=%d time=%d',
+            time.strftime("%Y-%m-%dT%H:%M:%S"), q, num_found, rtime,
+        )
+        return response
 
     def execute(self, plan: QueryPlan) -> dict:
         domain = self._filtered_domain(plan)

@@ -226,3 +226,29 @@ def test_json_sink(spark):
     arr = docs_json_array(df)
     assert arr == '[{"id":1,"t":"say \\"hi\\""}]'
     assert to_response_docs(df) == [{"id": 1, "t": 'say "hi"'}]
+
+
+def test_rtime_and_reporting_log(engine, caplog):
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="solrutils_spark.search"):
+        rsp = engine.search(MODEL, {"query": "posting"})
+    assert rsp["responseHeader"]["RTime"] >= 0
+    recs = [r.message for r in caplog.records if "[reporting]" in r.message]
+    assert recs and 'query="posting"' in recs[0] and "numFound=" in recs[0]
+
+
+def test_reporting_log_roundtrips_into_stats(spark, engine, tmp_path, caplog):
+    """Our own emitted log lines must parse with read_query_log (S7 loop)."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="solrutils_spark.search"):
+        engine.search(MODEL, {"query": "posting segment"})
+        engine.search(MODEL, {"query": "posting segment"})
+    lines = [r.message for r in caplog.records if "[reporting]" in r.message]
+    p = tmp_path / "search.log"
+    p.write_text("\n".join(lines))
+    log = read_query_log(spark, str(p))
+    assert log.count() == 2
+    top = top_queries(log).collect()
+    assert top[0]["q"] == "posting segment" and top[0]["count"] == 2
