@@ -88,10 +88,13 @@ def read_stats(out_dir: str) -> dict:
     return json.loads((Path(out_dir) / "stats.json").read_text())
 
 
-def read_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_docs(spark: SparkSession, out_dir: str, with_len: bool = True) -> DataFrame:
+    """docs table; ``with_len=False`` skips the doc_len sidecar join — use for
+    stored-field fetches where |d| isn't needed (the join otherwise rides
+    along in every top-k fetch plan)."""
     docs = spark.read.parquet(str(Path(out_dir) / "docs.parquet"))
     dl_path = Path(out_dir) / "doclen"
-    if dl_path.exists():
+    if with_len and dl_path.exists():
         dl = spark.read.parquet(str(dl_path))
         docs = docs.join(dl, "doc_id", "left").fillna({"doc_len": 0})
     return docs

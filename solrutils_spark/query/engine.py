@@ -249,10 +249,18 @@ class IndexReader:
         ]
 
     def fetch(self, topk: DataFrame, fields: list[str] | None = None) -> DataFrame:
-        """J3 — stored-field fetch: broadcast the tiny top-k against docs."""
+        """J3 — stored-field fetch: broadcast the tiny top-k against docs.
+
+        Uses the lean docs table (no doc_len sidecar join) unless the caller
+        asked for doc_len — keeps the fetch plan a single broadcast join."""
         cols = fields or ["repo", "path", "commit", "lang"]
+        docs = (
+            self.docs
+            if "doc_len" in cols
+            else read_docs(self.spark, self.index_dir, with_len=False)
+        )
         return (
-            self.docs.join(F.broadcast(topk), "doc_id")
+            docs.join(F.broadcast(topk), "doc_id")
             .select("doc_id", "score", *cols)
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
