@@ -103,6 +103,86 @@ def topk_rows(
     for row in rows.itertuples(index=False):
         rows_by_term.setdefault(row.term, []).append(row)
 
+    if len(terms_sorted) == 1:
+        # single-term fast path: a doc's final score is exactly idf·tf_norm,
+        # bounded above by its block bound — process blocks in DESCENDING
+        # bound order and stop once the next bound can't beat the k-th score.
+        # Exact (scores computed, never estimated); hot single-term queries
+        # decode a handful of blocks instead of the full posting list.
+        t = terms_sorted[0]
+        idf = idf_by_term[t]
+        blocks = []  # (bound, row_idx, block_idx)
+        row_data = []
+        for ri, row in enumerate(rows_by_term[t]):
+            block_ub = idf * _tf_norm_bound(
+                np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl
+            )
+            block_last = np.asarray(row.block_last, dtype=np.int64)
+            block_offset = np.asarray(row.block_offset, dtype=np.int32)
+            prev_lasts = np.empty(len(block_offset), dtype=np.int64)
+            prev_lasts[0] = int(row.first_doc) - 1
+            prev_lasts[1:] = block_last[:-1]
+            row_data.append(
+                (np.frombuffer(row.payload, dtype=np.uint8), int(row.df_part),
+                 block_offset, prev_lasts)
+            )
+            for bi, ub in enumerate(block_ub):
+                blocks.append((float(ub), ri, bi))
+        blocks.sort(key=lambda x: -x[0])  # stable: flat bounds keep file order
+        # spiky-vs-flat dispatch: descending-bound early termination only pays
+        # when a few blocks dominate (otherwise it fragments decode into
+        # single blocks). Flat lists decode each row in ONE run + one global
+        # top-k selection — bandwidth-bound, no per-block python.
+        probe = min(len(blocks) - 1, max(8, 4 * ((k + BLOCK - 1) // BLOCK)))
+        spiky = len(blocks) > 16 and blocks[0][0] > 1.02 * blocks[probe][0]
+        if not spiky:
+            parts_d, parts_s = [], []
+            for payload, n, block_offset, prev_lasts in row_data:
+                d, tf, dl = decode_run(payload, n, block_offset, 0, len(block_offset), 0)
+                tfv = tf.astype(np.float64)
+                parts_s.append(
+                    idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+                )
+                parts_d.append(d)
+            docs1 = np.concatenate(parts_d)
+            scores1 = np.concatenate(parts_s)
+            sel = np.lexsort((docs1, -scores1))[: min(k, docs1.size)]
+            return docs1[sel], scores1[sel]
+        # chunked descending-bound scan with a running top-k buffer:
+        # merges are O(k + chunk) — never O(all decoded)
+        CHUNK = 256
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float64)
+        theta1 = -np.inf
+        for c0 in range(0, len(blocks), CHUNK):
+            chunk = blocks[c0 : c0 + CHUNK]
+            if np.isfinite(theta1) and top_d.size >= k and chunk[0][0] < theta1:
+                break
+            # group the chunk's blocks into contiguous runs per row
+            by_row: dict[int, list[int]] = {}
+            for _ub, ri, bi in chunk:
+                by_row.setdefault(ri, []).append(bi)
+            parts_d, parts_s = [], []
+            for ri, bis in by_row.items():
+                payload, n, block_offset, prev_lasts = row_data[ri]
+                bis_arr = np.unique(np.asarray(bis))
+                run_breaks = np.flatnonzero(np.diff(bis_arr) > 1) + 1
+                for run in np.split(bis_arr, run_breaks):
+                    i0, i1 = int(run[0]), int(run[-1]) + 1
+                    d, tf, dl = decode_run(payload, n, block_offset, i0, i1, int(prev_lasts[i0]))
+                    tfv = tf.astype(np.float64)
+                    parts_s.append(
+                        idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+                    )
+                    parts_d.append(d)
+            md = np.concatenate([top_d, *parts_d])
+            ms = np.concatenate([top_s, *parts_s])
+            sel = np.lexsort((md, -ms))[: min(k, md.size)]
+            top_d, top_s = md[sel], ms[sel]
+            if top_d.size >= k:
+                theta1 = top_s[-1]
+        return top_d, top_s
+
     for t in terms_sorted:
         idf = idf_by_term[t]
         rem = remaining_after[t]
