@@ -450,6 +450,29 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_near_dups(simhash_signatures(doubled), max_hamming=0)
 
 
+def q_spellcheck(spark, sf_dir):
+    """E7 — spellcheck suggestions for 'vectr' from the documents vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"))
+        .filter(F.length("term") >= 2)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    q = "vectr"
+    return (
+        vocab.filter(
+            (F.length("term") >= len(q) - 1) & (F.length("term") <= len(q) + 1)
+            & F.col("term").startswith(q[0])
+        )
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter((F.col("distance") <= 2) & (F.col("distance") > 0))
+        .orderBy(F.asc("distance"), F.desc("freq"), F.asc("term"))
+        .limit(5)
+        .select(F.col("term").alias("suggestion"), "freq", "distance")
+    )
+
+
 def q_langid(spark, sf_dir):
     """Language-ID heuristic (no SQL oracle — rows-only check)."""
     from solrutils_spark.operators.textstats import detect_language
@@ -484,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "spellcheck": q_spellcheck,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "langid": q_langid,
@@ -639,6 +663,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT vec_id, round(cosine, 4) AS cosine, rank FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "spellcheck": """
+            WITH vocab AS (
+              SELECT term, count(*) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+                FROM documents)
+              WHERE length(term) >= 2 GROUP BY term
+            )
+            SELECT term AS suggestion, freq, levenshtein(term, 'vectr') AS distance
+            FROM vocab
+            WHERE length(term) BETWEEN 4 AND 6 AND term LIKE 'v%'
+              AND levenshtein(term, 'vectr') BETWEEN 1 AND 2
+            ORDER BY distance ASC, freq DESC, term ASC LIMIT 5
         """,
         # minhash_dedup / simhash_dedup / langid: non-SQL-expressible
         # (custom hashing / heuristics) → rows-only driver check

@@ -406,6 +406,72 @@ def decode_run(
     return docs, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+def decode_blocks(
+    payload: np.ndarray,
+    n: int,
+    block_offset: np.ndarray,
+    selected: np.ndarray,
+    prev_lasts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode an arbitrary SET of blocks of one term in one vectorized pass.
+
+    ``selected``: sorted block indices; ``prev_lasts``: per-block base doc
+    (block_last of the preceding block; ignored for block 0 whose first delta
+    is absolute). Replaces per-run loops when WAND keeps scattered blocks —
+    one terminator scan + one de-interleave regardless of fragmentation.
+    """
+    selected = np.asarray(selected, dtype=np.int64)
+    nb_total = len(block_offset)
+    starts_b = block_offset[selected].astype(np.int64)
+    ends_b = np.where(
+        selected + 1 < nb_total,
+        block_offset[np.minimum(selected + 1, nb_total - 1)].astype(np.int64),
+        payload.size,
+    )
+    counts = np.minimum(n - selected * BLOCK, BLOCK)
+    total = int(counts.sum())
+    # gather selected byte ranges into one contiguous buffer
+    seg = np.concatenate([payload[s:e] for s, e in zip(starts_b, ends_b)])
+
+    ends = np.flatnonzero((seg & 0x80) == 0)[: 3 * total]
+    vstarts = np.empty(3 * total, dtype=np.int64)
+    vstarts[0] = 0
+    vstarts[1:] = ends[:-1] + 1
+    lengths = ends - vstarts + 1
+    vals = np.zeros(3 * total, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (seg[vstarts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+
+    # de-interleave [d c][t c][l c] per block
+    nb = selected.size
+    chunk_counts = np.repeat(counts, 3)
+    chunk_stream = np.tile(np.array([0, 1, 2]), nb)
+    chunk_start = np.zeros(3 * nb, dtype=np.int64)
+    np.cumsum(chunk_counts[:-1], out=chunk_start[1:])
+    outs = []
+    for s in range(3):
+        sel_m = chunk_stream == s
+        cstarts = chunk_start[sel_m]
+        ccounts = chunk_counts[sel_m]
+        base = np.zeros(nb, dtype=np.int64)
+        np.cumsum(ccounts[:-1], out=base[1:])
+        idx = np.repeat(cstarts - base, ccounts) + np.arange(total)
+        outs.append(vals[idx])
+    deltas, tfs, dls = outs
+
+    # docs: segmented cumsum per block + per-block base (prev block's last;
+    # block 0's first delta is already absolute)
+    d_i64 = deltas.astype(np.int64)
+    cs = np.cumsum(d_i64)
+    blk_starts = np.zeros(nb, dtype=np.int64)
+    np.cumsum(counts[:-1], out=blk_starts[1:])
+    seg_base = cs[blk_starts] - d_i64[blk_starts]
+    bases = np.where(selected > 0, prev_lasts[selected], 0) - seg_base
+    docs = cs + np.repeat(bases, counts)
+    return docs, tfs.astype(np.int64), dls.astype(np.int64)
+
+
 def decode_postings(enc_n: int, payload: np.ndarray, block_offset: np.ndarray,
                     block_last: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode the full posting list → (doc_ids, tfs, dls)."""

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from solrutils_spark.functions.analyzer import B, K1
-from solrutils_spark.index.codec import BLOCK, decode_run
+from solrutils_spark.index.codec import BLOCK, decode_blocks, decode_run
 
 
 def _tf_norm_bound(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
@@ -165,16 +165,14 @@ def topk_rows(
             parts_d, parts_s = [], []
             for ri, bis in by_row.items():
                 payload, n, block_offset, prev_lasts = row_data[ri]
-                bis_arr = np.unique(np.asarray(bis))
-                run_breaks = np.flatnonzero(np.diff(bis_arr) > 1) + 1
-                for run in np.split(bis_arr, run_breaks):
-                    i0, i1 = int(run[0]), int(run[-1]) + 1
-                    d, tf, dl = decode_run(payload, n, block_offset, i0, i1, int(prev_lasts[i0]))
-                    tfv = tf.astype(np.float64)
-                    parts_s.append(
-                        idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-                    )
-                    parts_d.append(d)
+                d, tf, dl = decode_blocks(
+                    payload, n, block_offset, np.unique(np.asarray(bis)), prev_lasts
+                )
+                tfv = tf.astype(np.float64)
+                parts_s.append(
+                    idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+                )
+                parts_d.append(d)
             md = np.concatenate([top_d, *parts_d])
             ms = np.concatenate([top_s, *parts_s])
             sel = np.lexsort((md, -ms))[: min(k, md.size)]
@@ -215,15 +213,12 @@ def topk_rows(
             kept = np.flatnonzero(keep)
             if kept.size == 0:
                 continue
-            run_breaks = np.flatnonzero(np.diff(kept) > 1) + 1
-            for run in np.split(kept, run_breaks):
-                i0, i1 = int(run[0]), int(run[-1]) + 1
-                d, tf, dl = decode_run(payload, n, block_offset, i0, i1, int(prev_lasts[i0]))
-                tfv = tf.astype(np.float64)
-                term_parts_c.append(
-                    idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-                )
-                term_parts_d.append(d)
+            d, tf, dl = decode_blocks(payload, n, block_offset, kept, prev_lasts)
+            tfv = tf.astype(np.float64)
+            term_parts_c.append(
+                idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+            )
+            term_parts_d.append(d)
         if term_parts_d:
             # salt rows are sorted by doc range, so concatenation is sorted
             nd = np.concatenate(term_parts_d)
@@ -308,21 +303,12 @@ def topk_slice(
         else:
             keep = np.ones(n_blocks, dtype=bool)
 
-        # decode contiguous runs of kept blocks in single vectorized passes
-        new_docs_parts, contrib_parts = [], []
         kept = np.flatnonzero(keep)
-        run_breaks = np.flatnonzero(np.diff(kept) > 1) + 1
-        for run in np.split(kept, run_breaks) if kept.size else []:
-            i0, i1 = int(run[0]), int(run[-1]) + 1
-            d, tf, dl = decode_run(payload, n, block_offset, i0, i1, int(prev_lasts[i0]))
-            tfv = tf.astype(np.float64)
-            contrib = idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-            new_docs_parts.append(d)
-            contrib_parts.append(contrib)
-        if not new_docs_parts:
+        if kept.size == 0:
             continue
-        nd = np.concatenate(new_docs_parts)
-        nc = np.concatenate(contrib_parts)
+        nd, tf, dl = decode_blocks(payload, n, block_offset, kept, prev_lasts)
+        tfv = tf.astype(np.float64)
+        nc = idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
         if allowed_docs is not None:
             pos = np.searchsorted(allowed_docs, nd)
             ok = (pos < allowed_docs.size) & (allowed_docs[np.minimum(pos, allowed_docs.size - 1)] == nd)

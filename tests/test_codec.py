@@ -149,3 +149,23 @@ def test_decode_run_matches_blocks():
         np.testing.assert_array_equal(dd, d[lo:hi])
         np.testing.assert_array_equal(tt, t[lo:hi])
         np.testing.assert_array_equal(ll, l[lo:hi])
+
+
+def test_decode_blocks_scattered():
+    from solrutils_spark.index.codec import decode_blocks
+
+    d, t, l = _random_postings(1000, 123)
+    enc = encode_postings(d, t, l)
+    nb = len(enc.block_offset)
+    prev_lasts = np.empty(nb, dtype=np.int64)
+    prev_lasts[0] = 0
+    prev_lasts[1:] = enc.block_last[:-1]
+    for sel in [[0], [nb - 1], [0, 2, 3, 6], list(range(nb)), [1, 5]]:
+        sel = np.array(sel)
+        dd, tt, ll = decode_blocks(enc.payload, enc.n, enc.block_offset, sel, prev_lasts)
+        exp_d = np.concatenate([d[i * BLOCK : (i + 1) * BLOCK] for i in sel])
+        exp_t = np.concatenate([t[i * BLOCK : (i + 1) * BLOCK] for i in sel])
+        exp_l = np.concatenate([l[i * BLOCK : (i + 1) * BLOCK] for i in sel])
+        np.testing.assert_array_equal(dd, exp_d)
+        np.testing.assert_array_equal(tt, exp_t)
+        np.testing.assert_array_equal(ll, exp_l)
