@@ -169,3 +169,28 @@ def test_decode_blocks_scattered():
         np.testing.assert_array_equal(dd, exp_d)
         np.testing.assert_array_equal(tt, exp_t)
         np.testing.assert_array_equal(ll, exp_l)
+
+
+# property-based round-trip (hypothesis) — SURVEY §5.2 item 4
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        gaps=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=400),
+        tf_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_property_roundtrip(gaps, tf_seed):
+        rng = np.random.default_rng(tf_seed)
+        docs = np.cumsum(np.array(gaps, dtype=np.int64))
+        tfs = rng.integers(1, 1000, size=len(gaps)).astype(np.int64)
+        dls = rng.integers(1, 100000, size=len(gaps)).astype(np.int64)
+        enc = encode_postings(docs, tfs, dls)
+        d, t, l = decode_postings(enc.n, enc.payload, enc.block_offset, enc.block_last)
+        np.testing.assert_array_equal(d, docs)
+        np.testing.assert_array_equal(t, tfs)
+        np.testing.assert_array_equal(l, dls)
+
+except ImportError:  # pragma: no cover
+    pass
