@@ -40,6 +40,9 @@ cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
 spark = get_spark(app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
+# warm the session: fork python workers + JIT scan paths so JVM/worker
+# startup (~10s, identical at every level) is not measured as serial work
+spark.range(0, cpus * 1000, numPartitions=cpus).mapInPandas(lambda it: it, "id long").count()
 out = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
 corpus = synth_corpus(spark, n_docs, hot_repeat=100_000, partitions=max(cpus * 2, 16))
 t0 = time.perf_counter()

