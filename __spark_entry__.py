@@ -521,8 +521,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY count DESC, val ASC
         """,
         "facet_query": """
-            SELECT sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS big_orders,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
+            -- CASTs: DuckDB types sum() as HUGEINT (int128); Spark returns
+            -- bigint — the driver value-hash compares types, so align them
+            SELECT CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
                    count(*) AS total
             FROM orders
         """,

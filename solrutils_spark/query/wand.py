@@ -16,7 +16,8 @@ WAND literature). This kernel is the vectorized term-at-a-time variant:
 
   Any doc in a skipped block finishes strictly below θ, and θ can only grow
   toward the true k-th final score — so skipping never changes the top-k set,
-  scores, or tie-breaks (exactness guard; pinned by test_wand.py comparing
+  scores, or tie-breaks (exactness guard; pinned by tests/test_index_engine.py
+  ``test_wand_rank_identical`` / ``test_wand_equals_exhaustive`` comparing
   against exhaustive scoring on every reference query).
 
 The kernel runs per salt-slice (a doc_id range of the whole index) inside

@@ -10,12 +10,16 @@ from solrutils_spark.operators.dedup import (
     dedup_exact_keep_first,
     embedding_near_dups,
     exact_duplicates,
+    hash_bytes,
+    hash_bytes_batch,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
+    minhash_signatures_jvm,
     ngram_jaccard_all_pairs,
     simhash_near_dups,
     simhash_signatures,
+    simhash_signatures_jvm,
 )
 from solrutils_spark.operators.multimodal import (
     extract_features,
@@ -100,6 +104,93 @@ def test_simhash(dup_docs):
     pairs = simhash_near_dups(sigs, max_hamming=8).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert found[(1, 2)] == 0
+
+
+def test_hash_bytes_batch_golden():
+    """Vectorized FNV must be value-identical to the scalar reference."""
+    strs = ["", "a", "hello world", "ü" * 5, "x" * 300, "def foo(bar):", " ", "\x00y"]
+    got = hash_bytes_batch(strs)
+    ref = np.array([hash_bytes(s.encode("utf-8")) for s in strs], dtype=np.uint64)
+    assert (got == ref).all()
+    # known FNV-1a vectors (public test vectors)
+    assert hash_bytes(b"") == 0xCBF29CE484222325
+    assert hash_bytes(b"a") == 0xAF63DC4C8601EC8C
+
+
+def test_minhash_signature_golden(spark):
+    """Pin the FNV/Carter-Wegman signature values (vectorization must not
+    change them)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    sig = minhash_signatures(df, num_perm=4, shingle_k=3).first()["signature"]
+    # derived from the scalar round-1 kernel (hash_bytes + uint64-wrap CW perm)
+    from solrutils_spark.operators.dedup import _MERSENNE, _minhash_params, _shingles
+
+    a, b = _minhash_params(4)
+    sh = _shingles("the quick brown fox jumps over the lazy dog", 3)
+    hv = np.array([hash_bytes(s.encode("utf-8")) for s in sh], dtype=np.uint64)
+    vals = (a[:, None] * (hv[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+    assert sig == vals.min(axis=1).astype(np.int64).tolist()
+
+
+def test_simhash_signed_votes(dup_docs):
+    """Round-2 fix: majority vote must be signed — near-dups land close in
+    hamming space, unrelated docs far (the uint64-wrap bug made everything
+    collide near all-ones)."""
+    by_id = {r["doc_id"]: r["simhash"] for r in
+             simhash_signatures(dup_docs).collect()}
+    ham = lambda x, y: bin((int(x) ^ int(y)) & ((1 << 64) - 1)).count("1")
+    assert ham(by_id[1], by_id[3]) <= 12  # one-token edit stays close
+    assert ham(by_id[1], by_id[4]) >= 16  # unrelated text is far
+    assert int(by_id[5]) == 0  # empty doc
+
+
+def test_jvm_signatures(dup_docs):
+    sigs = {r["doc_id"]: r["signature"] for r in
+            minhash_signatures_jvm(dup_docs, num_perm=16, shingle_k=3).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert sigs[1] != sigs[4]
+    assert sigs[5] == [(1 << 63) - 1] * 16  # empty doc → sentinel
+    sh = {r["doc_id"]: r["simhash"] for r in
+          simhash_signatures_jvm(dup_docs).collect()}
+    assert sh[1] == sh[2]
+    assert int(sh[5]) == 0
+    ham = lambda x, y: bin((int(x) ^ int(y)) & ((1 << 64) - 1)).count("1")
+    assert ham(sh[1], sh[3]) <= 12
+    assert ham(sh[1], sh[4]) >= 16
+    # full pipeline on the JVM path still finds the planted dups
+    pairs = minhash_dedup_pairs(
+        dup_docs, num_perm=64, bands=16, threshold=0.5, shingle_k=3, impl="jvm"
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found and ((1, 3) in found or (2, 3) in found)
+
+
+def test_lsh_remainder_bands_participate(spark):
+    """bands∤num_perm: trailing signature values must still form a band."""
+    sig_a = list(range(30))
+    sig_b = [100 + i for i in range(27)] + [27, 28, 29]  # agrees ONLY on tail 3
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id long, signature array<long>"
+    )
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, bands=8).collect()}
+    # base=3, rem=6 → band 7 covers positions 27..29 (0-indexed), which agree
+    assert (1, 2) in cands
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Degenerate corpus (identical docs) must produce bounded pair output."""
+    sigs = spark.createDataFrame(
+        [(i, [7, 7, 7, 7]) for i in range(100)], "doc_id long, signature array<long>"
+    )
+    uncapped = lsh_candidate_pairs(sigs, bands=2).count()
+    assert uncapped == 100 * 99 // 2  # full clique
+    capped = lsh_candidate_pairs(sigs, bands=2, max_bucket_size=5).count()
+    assert capped == 5 * 4 // 2  # lowest 5 ids per bucket only
+    # deterministic: kept ids are the lowest
+    kept = lsh_candidate_pairs(sigs, bands=2, max_bucket_size=5)
+    assert kept.agg(F.max("id_b")).first()[0] == 4
 
 
 def test_ngram_jaccard_exhaustive(dup_docs):
