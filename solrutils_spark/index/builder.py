@@ -19,13 +19,20 @@ Layout under ``out_dir``::
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solrutils_spark.index.docs import build_docs
-from solrutils_spark.index.merge import DEFAULT_BUCKETS, merge_segments, read_index, write_index
+from solrutils_spark.index.merge import (
+    DEFAULT_BUCKETS,
+    merge_segments,
+    read_index,
+    salt_group,
+    write_index,
+)
 from solrutils_spark.index.segments import build_segments, read_lineage, read_segments
 
 
@@ -43,21 +50,32 @@ def build_index(
     out = Path(out_dir)
     docs_path = out / "docs.parquet"
 
+    if not resume:
+        # a fresh build must not inherit stale state: a previous larger
+        # corpus in the same out_dir would otherwise leak committed
+        # seg=N files into the merge and inflate n_docs/avgdl
+        for sub in ("segments", "lineage", "doclen"):
+            shutil.rmtree(out / sub, ignore_errors=True)
+
     if not (resume and docs_path.exists()):
         docs = build_docs(corpus)
         docs.write.mode("overwrite").parquet(str(docs_path))
     docs = spark.read.parquet(str(docs_path))
 
-    lineage = build_segments(docs, out_dir, segment_size=segment_size, resume=resume)
-    agg = lineage.agg(
-        F.sum("rows_in").alias("rows"), F.sum("tokens").alias("tokens")
-    ).collect()[0]
-    n_docs = int(agg["rows"] or 0)
-    total_tokens = int(agg["tokens"] or 0)
+    build_segments(docs, out_dir, segment_size=segment_size, resume=resume)
+    # lineage is driver-local JSON — aggregate without any Spark job
+    lin_rows = [
+        json.loads(f.read_text()) for f in sorted((out / "lineage").glob("seg=*.json"))
+    ]
+    n_docs = sum(int(r["rows_in"]) for r in lin_rows)
+    total_tokens = sum(int(r["tokens"]) for r in lin_rows)
+    n_segments = (max((int(r["segment_id"]) for r in lin_rows), default=-1)) + 1
 
     segments = read_segments(spark, out_dir)
-    index = merge_segments(segments, num_salts=num_salts, num_buckets=num_buckets)
-    write_index(index, out_dir)
+    index = merge_segments(
+        segments, num_salts=num_salts, num_buckets=num_buckets, n_segments=n_segments
+    )
+    write_index(index, out_dir, num_buckets=num_buckets)
 
     # term→df sidecar, bucket-partitioned: query-time df lookups become a
     # direct (pyarrow) read of ≤ |terms| bucket files instead of a Spark job —
@@ -79,6 +97,10 @@ def build_index(
         "num_buckets": num_buckets,
         "num_salts": num_salts,
         "segment_size": segment_size,
+        "n_segments": n_segments,
+        # salt = doc_id // (segment_size · salt_group): lets query-side code
+        # map any doc_id to its index slice without touching the index
+        "salt_group": salt_group(n_segments, num_salts),
     }
     (out / "stats.json").write_text(json.dumps(stats))
     return stats

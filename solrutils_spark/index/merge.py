@@ -98,12 +98,27 @@ def _merge_bucket_salt(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def salt_group(n_segments: int, num_salts: int) -> int:
+    """Segments per salt slice: ``salt = segment_id // g``. Deterministic from
+    (n_segments, num_salts) so query-side code can recompute a doc's salt from
+    its doc_id alone (salt = doc_id // (segment_size·g))."""
+    return max(1, -(-n_segments // num_salts))  # ceil
+
+
 def merge_segments(
-    segments: DataFrame, num_salts: int = 4, num_buckets: int = DEFAULT_BUCKETS
+    segments: DataFrame,
+    num_salts: int = 4,
+    num_buckets: int = DEFAULT_BUCKETS,
+    n_segments: int | None = None,
 ) -> DataFrame:
-    """segments → merged, salted, bucketed index DataFrame."""
-    n_segments = (segments.agg(F.max("segment_id")).collect()[0][0] or 0) + 1
-    g = max(1, -(-n_segments // num_salts))  # ceil
+    """segments → merged, salted, bucketed index DataFrame.
+
+    ``n_segments``: pass it when known (build_index reads it from the local
+    lineage dir for free) — otherwise one extra Spark aggregation job runs
+    just to find max(segment_id)."""
+    if n_segments is None:
+        n_segments = (segments.agg(F.max("segment_id")).collect()[0][0] or 0) + 1
+    g = salt_group(n_segments, num_salts)
     salted = segments.withColumn(
         "salt", (F.col("segment_id") / F.lit(g)).cast("int")
     ).withColumn("bucket", bucket_col(F.col("term"), num_buckets))
@@ -112,9 +127,12 @@ def merge_segments(
     )
 
 
-def write_index(index: DataFrame, out_dir: str) -> None:
+def write_index(index: DataFrame, out_dir: str, num_buckets: int = DEFAULT_BUCKETS) -> None:
     (
-        index.repartition("bucket")
+        # 4× partitions: hashing B bucket values into exactly B partitions
+        # leaves ~e⁻¹ of them empty and doubles-up others (collision skew in
+        # the write stage); 4B keeps ~1 bucket per task, still 1 file/bucket
+        index.repartition(4 * num_buckets, "bucket")
         .sortWithinPartitions("term", "salt")  # row-group min/max stats on
         # term → parquet predicate pushdown skips row groups at query time
         .write.mode("overwrite")

@@ -92,12 +92,14 @@ class PlanExecutor:
         )
 
         if scored:
-            filter_ids = None
-            if plan.get_params("fq"):
-                filter_ids = [
-                    r[self.id_column] for r in domain.select(self.id_column).collect()
-                ]
-            topk = self.reader.search(q, rows, offset=start, filter_doc_ids=filter_ids)
+            # fq filters ride along as a DataFrame — the reader cogroups the
+            # filtered domain's ids with the postings by salt slice, so the
+            # filter never materializes on the driver and WAND pruning stays
+            # on (BulkUpdateHandler.java:57-61 DocSet semantics, distributed)
+            filter_df = (
+                domain.select(self.id_column) if plan.get_params("fq") else None
+            )
+            topk = self.reader.search(q, rows, offset=start, filter_df=filter_df)
             hits = self.reader.fetch(topk, self._fl(plan))
             facet_domain = (
                 self._scored_domain(domain, q) if need_facets else None

@@ -15,9 +15,19 @@ Query lifecycle (the Spark twin of SURVEY.md §3.1's Solr crossing):
    docs table (J3, QueryReRankComponent.java:80-85 semantics)
 
 Filters (P2, ``fq``) never affect scores — Lucene ``setIsFilter(true)``
-semantics (BulkUpdateHandler.java:59): they restrict candidates via a sorted
-doc_id array shipped to the kernel (small filters) — WAND pruning is disabled
-in that case to keep exactness (θ would be computed over excluded docs).
+semantics (BulkUpdateHandler.java:59). Two shapes:
+
+- ``filter_df`` (the scale path): the filtered domain's doc_ids stay a
+  DataFrame; each id is mapped to its salt slice by pure arithmetic
+  (salt = doc_id // (segment_size·salt_group), geometry from stats.json)
+  and COGROUPed with the candidate postings, so every kernel receives only
+  its own slice's allowed ids — one keyed shuffle of (doc_id, salt) rows,
+  nothing ever collected to the driver.
+- ``filter_doc_ids`` (explicit small lists, e.g. rerank candidate sets):
+  a driver-provided array broadcast into every kernel.
+
+WAND pruning stays ON under filters: θ accumulates over allowed docs only,
+and block upper bounds remain valid for any doc — rank-identical (pinned).
 """
 
 from __future__ import annotations
@@ -105,6 +115,16 @@ class IndexReader:
                 out[t] = int(d)
         return out
 
+    def salt_span(self) -> int:
+        """doc_ids per salt slice: salt = doc_id // salt_span (pure
+        arithmetic — segment/salt geometry persisted by the build)."""
+        seg = int(self.stats["segment_size"])
+        g = self.stats.get("salt_group")
+        if g is None:  # index built before the geometry was persisted
+            n_segments = max(1, -(-int(self.stats["n_docs"]) // seg))
+            g = max(1, -(-n_segments // int(self.stats["num_salts"])))
+        return int(g) * seg
+
     def search(
         self,
         query_text: str,
@@ -112,9 +132,15 @@ class IndexReader:
         *,
         offset: int = 0,
         filter_doc_ids: list[int] | None = None,
+        filter_df: DataFrame | None = None,
         use_wand: bool = True,
     ) -> DataFrame:
-        """Disjunctive BM25 top-k → DataFrame(doc_id, score), ranked."""
+        """Disjunctive BM25 top-k → DataFrame(doc_id, score), ranked.
+
+        ``filter_df``: single-column DataFrame of allowed doc_ids — the
+        DISTRIBUTED filter path (see module docstring). ``filter_doc_ids``:
+        small driver-side list. Both are P2 semantics (restrict, never score).
+        """
         terms = query_terms(query_text)
         dfs = self.term_dfs(terms)
         terms = [t for t in terms if dfs.get(t)]
@@ -124,20 +150,47 @@ class IndexReader:
         idf_by_term = {t: self.idf(dfs[t]) for t in terms}
         avgdl = float(self.stats["avgdl"])
         fetch_k = k + offset
-        allowed = (
-            np.sort(np.asarray(filter_doc_ids, dtype=np.int64))
-            if filter_doc_ids is not None
-            else None
-        )
-
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            d, s = topk_slice(
-                pdf, idf_by_term, avgdl, fetch_k, use_wand=use_wand, allowed_docs=allowed
-            )
-            return pd.DataFrame({"doc_id": d, "score": s})
-
         cand = self._candidate_rows(terms)
-        sliced = cand.groupBy("salt").applyInPandas(kernel, schema=TOPK_DDL)
+
+        if filter_df is not None:
+            span = self.salt_span()
+            fids = filter_df.select(
+                F.col(filter_df.columns[0]).cast("long").alias("doc_id")
+            ).withColumn("salt", (F.col("doc_id") / F.lit(span)).cast("int"))
+
+            def ckernel(cand_pdf: pd.DataFrame, fid_pdf: pd.DataFrame) -> pd.DataFrame:
+                if cand_pdf.empty or fid_pdf.empty:
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series(dtype="int64"),
+                         "score": pd.Series(dtype="float64")}
+                    )
+                allowed_local = np.sort(fid_pdf["doc_id"].to_numpy(np.int64))
+                d, s = topk_slice(
+                    cand_pdf, idf_by_term, avgdl, fetch_k,
+                    use_wand=use_wand, allowed_docs=allowed_local,
+                )
+                return pd.DataFrame({"doc_id": d, "score": s})
+
+            sliced = (
+                cand.groupBy("salt")
+                .cogroup(fids.groupBy("salt"))
+                .applyInPandas(ckernel, schema=TOPK_DDL)
+            )
+        else:
+            allowed = (
+                np.sort(np.asarray(filter_doc_ids, dtype=np.int64))
+                if filter_doc_ids is not None
+                else None
+            )
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                d, s = topk_slice(
+                    pdf, idf_by_term, avgdl, fetch_k,
+                    use_wand=use_wand, allowed_docs=allowed,
+                )
+                return pd.DataFrame({"doc_id": d, "score": s})
+
+            sliced = cand.groupBy("salt").applyInPandas(kernel, schema=TOPK_DDL)
         ranked = sliced.orderBy(F.desc("score"), F.asc("doc_id")).limit(fetch_k)
         if offset:
             ranked = ranked.offset(offset)

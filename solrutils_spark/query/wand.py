@@ -257,11 +257,15 @@ def topk_slice(
     slice-local top-k, tie-broken (score desc, doc_id asc).
 
     ``allowed_docs``: optional sorted int64 array — P2 filter semantics
-    (restricts candidates, never contributes to score). Disables pruning.
+    (restricts candidates, never contributes to score;
+    BulkUpdateHandler.java:59 ``setIsFilter(true)``). WAND pruning STAYS
+    enabled: decoded postings are intersected with ``allowed_docs`` before
+    merging into the accumulator, so θ is the k-th best score over allowed
+    docs only, while block upper bounds remain valid upper bounds for any
+    doc (allowed included) — the skip certificate is unchanged and the
+    result is rank-identical to exhaustive-over-the-filtered-domain
+    (pinned by test_index_engine.py::test_filtered_wand_prunes_exactly).
     """
-    if allowed_docs is not None:
-        use_wand = False
-
     order = np.lexsort(
         (term_rows["term"].to_numpy(), term_rows["df_part"].to_numpy())
     )  # df asc, term asc tie-break — deterministic processing order

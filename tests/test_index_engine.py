@@ -87,6 +87,55 @@ def test_filtered_search_restricts_but_never_scores(reader, oracle):
         assert s == pytest.approx(unf[d], abs=1e-12)
 
 
+def test_filter_df_distributed_equals_driver_list(spark, reader, oracle):
+    """The cogroup filter path (no driver collect) must be rank- and
+    score-identical to the driver-list path AND to the oracle restricted to
+    the filtered domain — broad filter (1/3 of the corpus)."""
+    allowed = [d for d in range(N_DOCS) if d % 3 == 0]
+    fdf = spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+    for qid, qtext, k in reference_queries():
+        if qid % 3:
+            continue  # subset for runtime; spans hot/mid/rare-term shapes
+        via_df = [(r["doc_id"], r["score"])
+                  for r in reader.search(qtext, k, filter_df=fdf).collect()]
+        via_list = [(r["doc_id"], r["score"])
+                    for r in reader.search(qtext, k, filter_doc_ids=allowed).collect()]
+        assert via_df == via_list, f"q{qid} {qtext!r}"
+        expected = [(d, s) for d, s in oracle.search(qtext, N_DOCS) if d % 3 == 0][:k]
+        assert [d for d, _ in via_df] == [d for d, _ in expected], f"q{qid} {qtext!r}"
+        for (gd, gs), (_, es) in zip(via_df, expected):
+            assert gs == pytest.approx(es, abs=1e-9), f"q{qid} doc {gd}"
+
+
+def test_filtered_wand_prunes_exactly(spark, reader):
+    """WAND stays ON under filters (θ over allowed docs only) and must be
+    rank-identical to the exhaustive kernel under the same filter."""
+    allowed = [d for d in range(N_DOCS) if d % 2 == 0]
+    fdf = spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+    for qtext in ["posting segment lucene", "hotTermZipfianStorm posting",
+                  "delta encode posting list"]:
+        w = [(r["doc_id"], r["score"])
+             for r in reader.search(qtext, 20, filter_df=fdf, use_wand=True).collect()]
+        e = [(r["doc_id"], r["score"])
+             for r in reader.search(qtext, 20, filter_df=fdf, use_wand=False).collect()]
+        assert w == e
+        assert all(d % 2 == 0 for d, _ in w)
+
+
+def test_salt_span_matches_index_layout(spark, reader):
+    """salt = doc_id // salt_span must agree with the salt actually stored in
+    the merged index for every posting row."""
+    from pyspark.sql import functions as F
+
+    span = reader.salt_span()
+    idx = reader.index.select("salt", "first_doc", "last_doc")
+    bad = idx.filter(
+        ((F.col("first_doc") / span).cast("int") != F.col("salt"))
+        | ((F.col("last_doc") / span).cast("int") != F.col("salt"))
+    ).count()
+    assert bad == 0
+
+
 def test_paging_offset(reader):
     full = [r["doc_id"] for r in reader.search("posting segment", 20).collect()]
     page2 = [r["doc_id"] for r in reader.search("posting segment", 5, offset=5).collect()]
