@@ -419,6 +419,73 @@ def simhash_near_dups(
     ).select("id_a", "id_b", "hamming")
 
 
+# ------------------------------------------------------ cluster resolve ----
+
+def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Near-dup cluster resolution: candidate pairs → (id, cluster_id) with
+    cluster_id = MIN doc_id of the connected component — the keep/drop
+    decision a training-data pipeline actually consumes (the reference's
+    unique-key dedup keeps one doc per key, BulkUpdateHandler.java:105
+    addDocument-with-unique-key semantics generalized to near-dup graphs).
+
+    Iterative min-label propagation PLUS pointer jumping (label ← label of
+    label) per round → O(log diameter) rounds, each one join+agg. Dedup
+    graphs have tiny components (pairs/triples), so 2-3 rounds typical;
+    pointer jumping covers adversarial chains. Convergence is detected via
+    the monotone-decreasing sum of labels (one cheap agg per round);
+    ``localCheckpoint`` truncates lineage so plans stay flat at scale.
+    Only ids that appear in ``pairs`` are returned — resolve singletons with
+    :func:`near_dup_keep`.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("y"), F.col("label").alias("ylab")), "y"
+            )
+            .groupBy("x")
+            .agg(F.min("ylab").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels["id"] == nbr["x"], "left").select(
+            labels["id"],
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        jump = stepped.select(F.col("id").alias("pid"), F.col("label").alias("plab"))
+        labels = (
+            stepped.join(jump, stepped["label"] == jump["pid"], "left")
+            .select(
+                stepped["id"],
+                F.least(stepped["label"], F.coalesce("plab", stepped["label"])).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:  # labels only decrease → fixpoint reached
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def near_dup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """df + (cluster_id, keep): keep = the lowest-id member of each near-dup
+    cluster; docs in no pair form their own cluster and are kept."""
+    comp = dedup_clusters(pairs, id_col)
+    out = df.join(comp, id_col, "left")
+    return out.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    ).withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
 # -------------------------------------------------------- ngram jaccard ----
 
 def verify_ngram_jaccard(

@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from solrutils_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact_keep_first,
+    near_dup_keep,
     embedding_near_dups,
     exact_duplicates,
     hash_bytes,
@@ -191,6 +193,25 @@ def test_lsh_hot_bucket_cap(spark):
     # deterministic: kept ids are the lowest
     kept = lsh_candidate_pairs(sigs, bands=2, max_bucket_size=5)
     assert kept.agg(F.max("id_b")).first()[0] == 4
+
+
+def test_dedup_clusters_long_chain(spark):
+    """Connected components: a 50-hop chain (adversarial diameter — pointer
+    jumping must converge in O(log n) rounds), two small cliques, singletons."""
+    chain = [(i, i + 1) for i in range(100, 150)]
+    cliques = [(1, 2), (2, 3), (1, 3), (7, 8)]
+    pairs = spark.createDataFrame(chain + cliques, "id_a long, id_b long")
+    comp = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert all(comp[i] == 100 for i in range(100, 151))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+
+    allv = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 99]], "doc_id long")
+    kept = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in near_dup_keep(allv, spark.createDataFrame(cliques, "id_a long, id_b long")).collect()}
+    assert kept[1] == (1, True) and kept[2] == (1, False) and kept[3] == (1, False)
+    assert kept[7] == (7, True) and kept[8] == (7, False)
+    assert kept[99] == (99, True)  # singleton keeps itself
 
 
 def test_ngram_jaccard_exhaustive(dup_docs):
