@@ -112,11 +112,16 @@ class PlanExecutor:
             facet_domain = domain if need_facets else None
 
         docs = [r.asDict(recursive=True) for r in hits.collect()]
-        num_found = (
-            facet_domain.count()
-            if facet_domain is not None
-            else (self._scored_domain(domain, q).count() if scored else domain.count())
-        )
+        if facet_domain is not None:
+            num_found = facet_domain.count()
+        elif scored and not plan.get_params("fq"):
+            # exact hit count without materializing doc_ids: single-term =
+            # sidecar df lookup (no job); multi-term = per-slice unique counts
+            num_found = self.reader.matching_count(q)
+        elif scored:
+            num_found = self._scored_domain(domain, q).count()
+        else:
+            num_found = domain.count()
         response: dict = {
             "responseHeader": {"params": {k: v for k, v in plan.params.items()}},
             "response": {"numFound": num_found, "start": start, "docs": docs},

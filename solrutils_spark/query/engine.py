@@ -319,7 +319,11 @@ class IndexReader:
         )
 
     def matching_docs(self, query_text: str) -> DataFrame:
-        """All docs containing ≥1 query term (the facet-domain doc set), unscored."""
+        """All docs containing ≥1 query term (the facet-domain doc set), unscored.
+
+        Salt slices are DISJOINT doc_id ranges and the kernel uniquifies
+        within its slice, so the union is already distinct — no extra
+        doc_id shuffle after the decode."""
         terms = query_terms(query_text)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long")
@@ -339,4 +343,40 @@ class IndexReader:
             docs = np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)
             return pd.DataFrame({"doc_id": docs})
 
-        return cand.groupBy("salt").applyInPandas(decode_all, "doc_id long").distinct()
+        return cand.groupBy("salt").applyInPandas(decode_all, "doc_id long")
+
+    def matching_count(self, query_text: str) -> int:
+        """numFound for an UNFILTERED scored request (Solr's exact hit count,
+        CustomSearchHandler.java:256 ``numFound`` log field).
+
+        - single live term: the global df from the termdf sidecar — no Spark
+          job, no decode at all;
+        - multi-term: per-slice unique counts (slices are disjoint doc
+          ranges) summed on the driver — each task ships ONE long instead of
+          its doc_id set, so the union/dedup never shuffles ids.
+        """
+        terms = query_terms(query_text)
+        dfs = self.term_dfs(terms)
+        live = [t for t in terms if dfs.get(t)]
+        if not live:
+            return 0
+        if len(live) == 1:
+            return int(dfs[live[0]])
+        cand = self._candidate_rows(live)
+
+        def count_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+            from solrutils_spark.index.codec import decode_postings
+
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = np.frombuffer(row.payload, dtype=np.uint8)
+                d, _, _ = decode_postings(
+                    int(row.df_part), payload, np.asarray(row.block_offset),
+                    np.asarray(row.block_last),
+                )
+                out.append(d)
+            n = int(np.unique(np.concatenate(out)).size) if out else 0
+            return pd.DataFrame({"n": [n]})
+
+        rows = cand.groupBy("salt").applyInPandas(count_slice, "n long").collect()
+        return int(sum(r["n"] for r in rows))

@@ -17,10 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solrutils_spark.index.segments import build_segments
+from solrutils_spark.index.segments import build_segments, committed_segments
 
 
-def incremental_index_writer(out_dir: str, segment_size: int = 4096, id_offset_col: str = "doc_id"):
+def incremental_index_writer(out_dir: str, segment_size: int = 4096):
     """foreachBatch callback: appends each micro-batch as new segments.
 
     Usage::
@@ -32,12 +32,58 @@ def incremental_index_writer(out_dir: str, segment_size: int = 4096, id_offset_c
 
     Exactly-once: Spark's checkpoint dedups micro-batches; within a batch the
     segment builder's lineage skip makes re-delivery idempotent.
+
+    Alignment guard: segment membership is ``doc_id // segment_size``, and a
+    committed segment is immutable — if a micro-batch carries doc_ids that
+    fall into an ALREADY-COMMITTED segment (i.e. an earlier batch ended
+    mid-segment and this one continues it), those docs would be silently
+    skipped by the lineage resume. That is detected here and raised loudly:
+    size micro-batches so their doc_id ranges align to ``segment_size``
+    (a batch MAY end mid-segment only if no later batch extends it).
+    Re-delivery of a whole failed batch stays idempotent: the clash check
+    only fires for segments committed by OTHER batches because a re-run of
+    the same batch rebuilds byte-identical segments (same doc ranges), which
+    the lineage skip then legitimately short-circuits — hence the check
+    compares against segments committed BEFORE this batch id (tracked in the
+    per-batch marker file).
     """
+    from pathlib import Path
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker = Path(out_dir) / "lineage" / f"batch={batch_id}.segments"
+        done = committed_segments(out_dir)
+        if done:
+            seg_ids = {
+                int(r["s"])
+                for r in batch_df.select(
+                    (F.col("doc_id") / segment_size).cast("int").alias("s")
+                )
+                .distinct()
+                .collect()
+            }
+            own = (
+                {int(x) for x in marker.read_text().split()}
+                if marker.exists()
+                else set()
+            )  # re-delivered batch: its own segments are a legal overlap
+            clash = (seg_ids & done) - own
+            if clash:
+                raise ValueError(
+                    f"micro-batch {batch_id} would extend already-committed "
+                    f"segments {sorted(clash)[:5]} (docs would be silently "
+                    f"dropped by lineage resume): align micro-batch doc_id "
+                    f"ranges to segment_size={segment_size}"
+                )
         build_segments(batch_df, out_dir, segment_size=segment_size, resume=True)
+        new_done = committed_segments(out_dir) - done
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        if new_done or not marker.exists():
+            prev = set()
+            if marker.exists():
+                prev = {int(x) for x in marker.read_text().split()}
+            marker.write_text(" ".join(str(s) for s in sorted(prev | new_done)))
 
     return write_batch
 

@@ -136,6 +136,16 @@ def test_salt_span_matches_index_layout(spark, reader):
     assert bad == 0
 
 
+def test_matching_count_exact(reader, oracle):
+    """numFound fast path == materialized doc-set count == oracle hit count
+    (single-term df shortcut AND multi-term per-slice counting)."""
+    for qtext in ["posting", "segment", "posting segment", "delta encode posting list"]:
+        n = reader.matching_count(qtext)
+        assert n == reader.matching_docs(qtext).distinct().count(), qtext
+        assert n == len(oracle.search(qtext, N_DOCS + 1)), qtext
+    assert reader.matching_count("zzzabsent") == 0
+
+
 def test_paging_offset(reader):
     full = [r["doc_id"] for r in reader.search("posting segment", 20).collect()]
     page2 = [r["doc_id"] for r in reader.search("posting segment", 5, offset=5).collect()]

@@ -42,6 +42,22 @@ def test_incremental_batches_equal_one_shot(spark, tmp_path):
     assert a == b
 
 
+def test_incremental_misaligned_batch_raises(spark, tmp_path):
+    """A batch ending mid-segment blocks that segment forever (lineage resume
+    would silently drop the rest of its doc range) — the writer must refuse
+    the NEXT batch that touches the committed partial segment."""
+    import pytest
+
+    corpus = synth_corpus(spark, 200, hot_repeat=500)
+    docs = build_docs(corpus).cache()
+    writer = incremental_index_writer(str(tmp_path / "bad"), segment_size=32)
+    writer(docs.filter("doc_id < 100"), batch_id=0)  # segment 3 committed partial
+    with pytest.raises(ValueError, match="already-committed"):
+        writer(docs.filter("doc_id >= 100"), batch_id=1)  # extends segment 3
+    # re-delivery of the same batch stays a legal no-op
+    writer(docs.filter("doc_id < 100"), batch_id=0)
+
+
 def test_streaming_query_stats(spark, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
