@@ -1,9 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition-aware batch
-shapes, Arrow UDF signatures, metadata extraction; the codec-dependent decode
-step is STUBBED (image/audio libraries are not in this container) behind
-``NotImplementedError`` with a deterministic fake used by tests.
+shapes, Arrow UDF signatures, metadata extraction. Decode is REAL for the
+container-friendly formats (pure stdlib + numpy, no codec libraries):
+
+- images: 24-bit uncompressed BMP and binary PPM (P6)
+- audio:  RIFF/WAVE PCM (8/16-bit, any channel count → mono float32)
+
+Compressed formats (JPEG/PNG/MP3/MP4) stay gated behind
+``NotImplementedError`` — libjpeg/ffmpeg are not in this container; at
+deployment, register a codec-backed ``feature_fn``/decoder with the SAME
+signatures (the batching, schema and fan-out shapes below are production).
 
 Schema convention for a multimodal table::
 
@@ -14,6 +21,9 @@ Schema convention for a multimodal table::
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -31,14 +41,131 @@ MULTIMODAL_DDL = (
 FEATURE_DIM = 64
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB — real impl needs Pillow/libjpeg (not in this container)."""
-    raise NotImplementedError("image decode requires an image codec library")
+# ------------------------------------------------------------ image codec --
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER)."""
+    h, w, _ = img.shape
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : 3 * w] = img[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    pixels = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + pixels
 
 
-def decode_audio(payload: bytes) -> "np.ndarray":
-    """STUB — real impl needs soundfile/ffmpeg (not in this container)."""
-    raise NotImplementedError("audio decode requires an audio codec library")
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=h * stride, offset=offset)
+    img = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img if top_down else img[::-1]
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # P6 <w> <h> <maxval>\n<raw RGB>
+    parts = payload.split(maxsplit=4)
+    if parts[0] != b"P6":
+        raise ValueError("not a binary PPM")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM")
+    raw = parts[4] if len(parts) > 4 else b""
+    return np.frombuffer(raw, np.uint8, count=h * w * 3).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """binary → (h, w, 3) uint8 RGB. Real for BMP/PPM; compressed formats
+    need a codec library (honest gate, see module docstring)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "compressed image decode (JPEG/PNG/...) requires an image codec library"
+    )
+
+
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure numpy indexing."""
+    h, w = img.shape[:2]
+    yi = np.arange(height) * h // height
+    xi = np.arange(width) * w // width
+    return img[yi][:, xi]
+
+
+# ------------------------------------------------------------ audio codec --
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (mono float32 in [-1, 1], sample_rate). Pure stdlib."""
+    with wave.open(io.BytesIO(payload)) as wv:
+        rate = wv.getframerate()
+        ch = wv.getnchannels()
+        sw = wv.getsampwidth()
+        raw = wv.readframes(wv.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{sw * 8}-bit PCM decode not supported")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono float32 [-1, 1] → 16-bit PCM WAV bytes."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic REAL feature for decodable payloads:
+
+    - image: 4×4 block-mean grid per RGB channel (48) + 16-bin grayscale
+      histogram → 64 dims
+    - audio: 60 block-averaged |rFFT| log-magnitudes + rms/zero-crossing-
+      rate/duration/rate → 64 dims
+    """
+    if payload[:2] in (b"BM", b"P6"):
+        img = decode_image(payload).astype(np.float64)
+        grid = resize_image(img.astype(np.uint8), 4, 4).astype(np.float64)
+        gvals = (grid / 255.0).reshape(-1)  # 48
+        gray = img.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=16, range=(0, 256))
+        hvals = hist / max(1, gray.size)
+        return np.concatenate([gvals, hvals]).astype(np.float32)
+    if payload[:4] == b"RIFF":
+        arr, rate = decode_audio(payload)
+        mag = np.abs(np.fft.rfft(arr))
+        # average into 60 bins (pad so the length divides evenly)
+        nb = 60
+        pad = (-mag.size) % nb
+        mag = np.pad(mag, (0, pad))
+        bins = np.log1p(mag.reshape(nb, -1).mean(axis=1))
+        rms = float(np.sqrt(np.mean(arr**2))) if arr.size else 0.0
+        zcr = float(np.mean(np.abs(np.diff(np.sign(arr))) > 0)) if arr.size > 1 else 0.0
+        tail = [rms, zcr, arr.size / max(1, rate), rate / 48000.0]
+        return np.concatenate([bins, tail]).astype(np.float32)
+    raise NotImplementedError("compressed payloads require a codec library")
 
 
 def fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -75,25 +202,66 @@ def extract_features(
 
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload") -> DataFrame:
-    """STUB pipeline stage — plumbing (schema/partitioning) real, decode not."""
+    """Decode → nearest-neighbour resize → re-encode BMP, Arrow-batched.
+    Real for BMP/PPM payloads; compressed formats raise (codec gate)."""
+    cols = df.columns
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError("image resize requires an image codec library")
-        yield  # pragma: no cover
+        for pdf in batches:
+            pdf[payload_col] = pdf[payload_col].map(
+                lambda b: encode_bmp(resize_image(decode_image(bytes(b)), width, height))
+                if b is not None
+                else None
+            )
+            yield pdf[cols]
 
     return df.mapInPandas(gen, df.schema)
 
 
+# trivial deterministic video container for the frame-sampling contract:
+#   b'RAWV' + uint32 n_frames + uint32 frame_interval_ms
+#   + n × (uint32 length + BMP bytes)
+# real containers (mp4/webm) need ffmpeg — the one→many fan-out shape,
+# schema and batching below are the production contract either way.
+
+def encode_rawv(frames: list[bytes], frame_interval_ms: int = 40) -> bytes:
+    out = [b"RAWV", struct.pack("<II", len(frames), frame_interval_ms)]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   payload_col: str = "payload") -> DataFrame:
-    """STUB: video → frame rows (one→many). Schema contract is real."""
-    schema = "item_id long, frame_idx int, frame binary"
+    """video → frame rows (one→many fan-out). Real for the RAWV container
+    (see above); mp4/webm payloads raise (codec gate)."""
+    schema = "item_id long, frame_idx int, ts_ms long, frame binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError("frame sampling requires a video codec library")
-        yield  # pragma: no cover
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for item_id, b in zip(pdf["item_id"], pdf[payload_col]):
+                payload = bytes(b)
+                if payload[:4] != b"RAWV":
+                    raise NotImplementedError(
+                        "mp4/webm frame sampling requires a video codec library"
+                    )
+                n, interval = struct.unpack_from("<II", payload, 4)
+                off = 12
+                step = max(1, every_ms // max(1, interval))
+                for i in range(n):
+                    (ln,) = struct.unpack_from("<I", payload, off)
+                    off += 4
+                    if i % step == 0:
+                        ids.append(item_id)
+                        idxs.append(i)
+                        tss.append(i * interval)
+                        frames.append(payload[off : off + ln])
+                    off += ln
+            yield pd.DataFrame(
+                {"item_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
 
     return df.select("item_id", payload_col).mapInPandas(gen, schema)
 
@@ -106,7 +274,10 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.when(magic.startswith("FFD8"), "image/jpeg")
         .when(magic.startswith("89504E47"), "image/png")
         .when(magic.startswith("47494638"), "image/gif")
+        .when(magic.startswith("424D"), "image/bmp")
+        .when(magic.startswith("5036"), "image/x-portable-pixmap")
         .when(magic.startswith("52494646"), "audio/wav")
+        .when(magic.startswith("52415756"), "video/x-rawv")
         .when(magic.startswith("494433"), "audio/mpeg")
         .otherwise("application/octet-stream")
     )
@@ -119,19 +290,36 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def synth_multimodal(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake multimodal table for tests (payload = seeded bytes
-    with a real JPEG/PNG magic prefix)."""
+    """Deterministic multimodal table for tests: REAL decodable payloads
+    (BMP images, PCM WAVs, RAWV clips) interleaved with codec-gated fakes
+    (JPEG/PNG magic + seeded bytes) so both paths are exercised."""
     rows = []
     for i in range(n):
-        seed_bytes = hashlib.sha256(f"mm:{i}".encode()).digest() * 4
-        if i % 3 == 0:
-            payload = b"\xff\xd8\xff\xe0" + seed_bytes
+        seed = int.from_bytes(hashlib.sha256(f"mm:{i}".encode()).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        kind = i % 5
+        if kind == 0:
+            payload = b"\xff\xd8\xff\xe0" + hashlib.sha256(f"mm:{i}".encode()).digest() * 4
             modality, mime, w, h, dur, sr = "image", "image/jpeg", 640, 480, None, None
-        elif i % 3 == 1:
-            payload = b"\x89PNG" + seed_bytes
+        elif kind == 1:
+            payload = b"\x89PNG" + hashlib.sha256(f"mm:{i}".encode()).digest() * 4
             modality, mime, w, h, dur, sr = "image", "image/png", 320, 240, None, None
+        elif kind == 2:
+            img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            payload = encode_bmp(img)
+            modality, mime, w, h, dur, sr = "image", "image/bmp", 16, 12, None, None
+        elif kind == 3:
+            t = np.arange(1600) / 16000.0
+            payload = encode_wav(
+                0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 7)) * t), 16000
+            )
+            modality, mime, w, h, dur, sr = "audio", "audio/wav", None, None, 100, 16000
         else:
-            payload = b"RIFF" + seed_bytes
-            modality, mime, w, h, dur, sr = "audio", "audio/wav", None, None, 2000, 16000
+            frames = [
+                encode_bmp(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+                for _ in range(5)
+            ]
+            payload = encode_rawv(frames, frame_interval_ms=40)
+            modality, mime, w, h, dur, sr = "video", "video/x-rawv", 8, 8, 200, None
         rows.append((i, modality, payload, (mime, w, h, dur, sr)))
     return spark.createDataFrame(rows, MULTIMODAL_DDL)

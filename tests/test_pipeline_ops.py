@@ -304,8 +304,9 @@ def test_multimodal_plumbing(spark):
     meta = payload_metadata(mm)
     rows = meta.collect()
     assert all(r["payload_sha256"] for r in rows)
-    jpeg = [r for r in rows if r["meta"]["mime"] == "image/jpeg"]
-    assert all(r["sniffed_mime"] == "image/jpeg" for r in jpeg)
+    for mime in ("image/jpeg", "image/bmp", "audio/wav", "video/x-rawv"):
+        typed = [r for r in rows if r["meta"]["mime"] == mime]
+        assert typed and all(r["sniffed_mime"] == mime for r in typed), mime
 
     feats = extract_features(mm).collect()
     assert all(len(r["feature"]) == 64 for r in feats)
@@ -313,5 +314,53 @@ def test_multimodal_plumbing(spark):
     again = extract_features(mm).collect()
     assert feats[0]["feature"] == again[0]["feature"]
 
+    # compressed formats stay codec-gated
     with pytest.raises(Exception, match="NotImplementedError|codec"):
-        resize_images(mm, 100, 100).collect()
+        resize_images(mm.filter("meta.mime = 'image/jpeg'"), 100, 100).collect()
+
+
+def test_multimodal_real_decode(spark):
+    import numpy as np
+
+    from solrutils_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav,
+        real_feature,
+        sample_frames,
+    )
+
+    # BMP round-trip (odd width exercises row padding)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_image(encode_bmp(img)) == img).all()
+
+    # WAV round-trip (16-bit PCM quantization ≤ 1/32767)
+    t = np.arange(800) / 16000.0
+    sig = (0.25 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    arr, rate = decode_audio(encode_wav(sig, 16000))
+    assert rate == 16000 and arr.size == 800
+    assert np.abs(arr - sig).max() < 1e-3
+
+    mm = synth_multimodal(spark, 30).cache()
+    # distributed resize over the decodable image rows
+    bmp = mm.filter("meta.mime = 'image/bmp'")
+    resized = resize_images(bmp, 6, 4).collect()
+    assert resized and all(
+        decode_image(bytes(r["payload"])).shape == (4, 6, 3) for r in resized
+    )
+
+    # one→many frame fan-out over the RAWV clips (5 frames @40ms)
+    vid = mm.filter("modality = 'video'")
+    n_vids = vid.count()
+    every = sample_frames(vid, every_ms=40).collect()
+    assert len(every) == 5 * n_vids
+    sparse = sample_frames(vid, every_ms=80).collect()
+    assert len(sparse) == 3 * n_vids  # frames 0, 2, 4
+    assert all(decode_image(bytes(r["frame"])).shape == (8, 8, 3) for r in sparse)
+
+    # real features over every decodable modality
+    dec = mm.filter("meta.mime IN ('image/bmp', 'audio/wav')")
+    feats = extract_features(dec, feature_fn=real_feature).collect()
+    assert feats and all(len(r["feature"]) == 64 for r in feats)
