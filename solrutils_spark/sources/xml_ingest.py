@@ -71,24 +71,28 @@ def read_xml_files(
 
 
 def make_xslt_transform(xslt_source: str) -> Callable[[str], str]:
-    """Compile XSLT once (Templates-cache semantics) → per-doc transform fn.
+    """Compile XSLT once (Templates-cache semantics, XsltUpdateHandler.java:
+    114-136) → per-doc transform fn.
 
-    Gated on lxml availability; the Spark-side plumbing (mapInPandas over the
-    xml column) is real and tested with a plain-Python transform.
+    Engine selection: full XSLT via lxml when available; otherwise the
+    pure-Python :mod:`~solrutils_spark.sources.minixslt` SUBSET interpreter
+    (covers the map-XML-to-Solr-doc stylesheets this handler exists for;
+    unsupported constructs raise ``UnsupportedXsltError`` loudly rather than
+    producing a silently wrong document).
     """
     try:
         from lxml import etree  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - container has no lxml
-        raise NotImplementedError(
-            "XSLT transform requires lxml, which is not available in this "
-            "environment; supply a plain-Python transform function instead"
-        ) from e
-    transform = etree.XSLT(etree.fromstring(xslt_source.encode()))
 
-    def apply(xml: str) -> str:
-        return str(transform(etree.fromstring(xml.encode())))
+        transform = etree.XSLT(etree.fromstring(xslt_source.encode()))
 
-    return apply
+        def apply(xml: str) -> str:
+            return str(transform(etree.fromstring(xml.encode())))
+
+        return apply
+    except ImportError:  # container has no lxml → subset interpreter
+        from solrutils_spark.sources.minixslt import MiniXSLT
+
+        return MiniXSLT(xslt_source)
 
 
 def transform_xml(

@@ -221,6 +221,85 @@ def test_transform_xml_plumbing(spark):
     assert out["xml"].startswith("<doc>")  # raw retained
 
 
+_CATALOG_XSLT = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/">
+    <add><xsl:apply-templates select="catalog/product"/></add>
+  </xsl:template>
+  <xsl:template match="product">
+    <doc>
+      <field name="id"><xsl:value-of select="@sku"/></field>
+      <field name="title"><xsl:value-of select="name"/></field>
+      <field name="price"><xsl:value-of select="price/@amount"/></field>
+      <xsl:if test="not(discontinued)"><field name="active">true</field></xsl:if>
+      <xsl:for-each select="tags/tag">
+        <field name="tag_ss"><xsl:value-of select="."/></field>
+      </xsl:for-each>
+      <xsl:choose>
+        <xsl:when test="price/@currency='EUR'"><field name="region">eu</field></xsl:when>
+        <xsl:otherwise><field name="region">other</field></xsl:otherwise>
+      </xsl:choose>
+    </doc>
+  </xsl:template>
+</xsl:stylesheet>"""
+
+_CATALOG_XML = """<catalog>
+  <product sku="A1"><name>Widget</name><price amount="9.99" currency="EUR"/>
+    <tags><tag>small</tag><tag>red</tag></tags></product>
+  <product sku="B2"><name>Gadget</name><price amount="19.99" currency="USD"/>
+    <discontinued/><tags><tag>big</tag></tags></product>
+</catalog>"""
+
+
+def test_xslt_transform_real():
+    """S3 round-trip without lxml: the MiniXSLT subset interpreter maps a
+    catalog to Solr add-docs (XsltUpdateHandler.java:114-136 semantics)."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.xml_ingest import make_xslt_transform
+
+    out = make_xslt_transform(_CATALOG_XSLT)(_CATALOG_XML)
+    tree = ET.fromstring(out)
+    assert tree.tag == "add" and len(tree) == 2
+    by_id = {}
+    for doc in tree:
+        fields: dict = {}
+        for f in doc:
+            fields.setdefault(f.get("name"), []).append(f.text)
+        by_id[fields["id"][0]] = fields
+    a1, b2 = by_id["A1"], by_id["B2"]
+    assert a1["title"] == ["Widget"] and a1["price"] == ["9.99"]
+    assert a1["active"] == ["true"] and a1["region"] == ["eu"]
+    assert a1["tag_ss"] == ["small", "red"]
+    assert "active" not in b2 and b2["region"] == ["other"]
+    assert b2["tag_ss"] == ["big"]
+
+
+def test_xslt_unsupported_raises():
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    bad = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><xsl:copy-of select="."/></xsl:template>
+    </xsl:stylesheet>"""
+    import pytest
+
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(bad)("<a/>")
+
+
+def test_xslt_distributed(spark):
+    """The compiled transform runs inside mapInPandas (Templates cached on
+    the driver, shipped to executors by closure)."""
+    from solrutils_spark.sources.xml_ingest import make_xslt_transform
+
+    t = make_xslt_transform(_CATALOG_XSLT)
+    df = spark.createDataFrame(
+        [(f"f{i}", _CATALOG_XML) for i in range(8)], "path string, xml string"
+    )
+    rows = transform_xml(df, t, keep_raw=True).collect()
+    assert len(rows) == 8
+    assert all(r["doc"].startswith("<add>") and 'name="id">A1' in r["doc"] for r in rows)
+
+
 def test_json_sink(spark):
     df = spark.createDataFrame([(1, 'say "hi"')], "id long, t string")
     arr = docs_json_array(df)
