@@ -89,8 +89,20 @@ def build_docs(corpus: DataFrame, num_partitions: int | None = None) -> DataFram
     # uniqueness assert) — checking upfront would cost two full corpus passes.
     keys = corpus.select("repo", "path", "commit")
 
-    # E9 upsert on keys only: latest commit per (repo, path)
-    latest = keys.groupBy("repo", "path").agg(F.max("commit").alias("commit"))
+    # E9 upsert on keys only: latest commit per (repo, path). PERSIST the
+    # skinny result: the dense-rank assignment needs two more passes over it
+    # (range-partitioner sampling + per-partition counts) and each pass would
+    # otherwise recompute the SOURCE scan — expensive when the source is a
+    # generator/UDF or a non-pruning format. Keys are 3 short strings/row
+    # (MEMORY_AND_DISK spills fine; at petabyte scale this is the standard
+    # skinny-side cache, ~1e-4 of corpus bytes).
+    from pyspark import StorageLevel
+
+    latest = (
+        keys.groupBy("repo", "path")
+        .agg(F.max("commit").alias("commit"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # dense rank on the skinny key table
     ranked = assign_doc_ids(latest, num_partitions)  # (repo, path, commit, doc_id)
     # single wide pass: join ids onto the corpus (content moves once, into

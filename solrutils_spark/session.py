@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # v2 commits rename task outputs as they finish instead of a serial
+        # driver-side pass at job end — measurable at high task counts, and
+        # our own index/lineage writes are task-atomic anyway
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
