@@ -6,10 +6,13 @@ Components (all timed separately, reported in "queries"):
 - bm25_p50        : median WAND top-10 latency over the reference query set
                     against the built index
 - bm25_sql        : exact-DataFrame BM25 over documents.parquet (driver-gate twin)
+- bm25_filtered   : scored+fq through the distributed cogroup filter path
 - facet_field / json_facet_nested / topn_events / sort_paging / semi_join:
                     headline relational operators at $SPARK_GRAFT_SF_DIR
 - ann_cosine      : brute cosine top-10 over embeddings
-- minhash_dedup   : MinHash+LSH near-dup pairs over documents
+- minhash_dedup   : MinHash+LSH near-dup pairs (all-JVM xxhash64 signatures)
+- simhash_dedup   : JVM simhash + pigeonhole hamming pairs
+- dedup_clusters  : connected-components keep/drop resolution
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 20000).
@@ -36,7 +39,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="solrutils-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=4 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
@@ -86,6 +89,14 @@ def main() -> None:
     extra["bm25_p50_ms"] = round(1000 * statistics.median(lat_local), 1)
     extra["bm25_p95_ms"] = round(1000 * sorted(lat_local)[int(0.95 * len(lat_local))], 1)
 
+    # scored+fq via the distributed cogroup filter path (round 2: no driver
+    # collect, WAND stays on) — broad ~1/3 filter over the built corpus
+    fdf = reader.docs.filter("pmod(doc_id, 3) = 0").select("doc_id")
+    t0 = time.perf_counter()
+    for _qid, qtext, k in qset[::4]:
+        reader.search(qtext, k, filter_df=fdf).count()
+    timings["bm25_filtered"] = round(time.perf_counter() - t0, 3)
+
     # 3. headline relational / pipeline operators on the sf tables
     qs = entry.queries()
     for name in ["bm25_topk", "facet_field", "json_facet_nested", "topn_events",
@@ -95,6 +106,12 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     timed("minhash_dedup", lambda: minhash_dedup_pairs(
         docs, num_perm=32, bands=8, threshold=0.9, shingle_k=3).count())
+
+    from solrutils_spark.operators.dedup import simhash_near_dups, simhash_signatures_jvm
+
+    timed("simhash_dedup", lambda: simhash_near_dups(
+        simhash_signatures_jvm(docs), max_hamming=3).count())
+    timed("dedup_clusters", lambda: qs["dedup_clusters"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

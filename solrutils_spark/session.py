@@ -39,7 +39,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+        # 4× cores: with shuffle partitions == cores, hashing G groups into
+        # exactly `cores` partitions leaves balls-in-bins imbalance (the
+        # slowest task carries ~2× the mean) — 4× averages it out and AQE
+        # coalesces the excess for big shuffles anyway
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", 4 * int(cpus))
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -47,6 +53,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by shuffle BYTES and is blind to per-row Python-kernel
+        # CPU: a few-MB postings shuffle feeding a WAND/applyInPandas stage
+        # would collapse to ~bytes/1MB tasks (measured: 5 concurrent kernels
+        # on local[16]). 64k lets parallelism-first coalescing keep ~core-count
+        # partitions for small-bytes/heavy-CPU stages; big shuffles still
+        # coalesce toward the advisory size.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
