@@ -67,9 +67,8 @@ def main() -> None:
     extra["index_total_tokens"] = stats["total_tokens"]
 
     # 2. BM25 query latency over the built index
-    reader = IndexReader(spark, out_dir)
-    reader.index = reader.index.cache()
-    reader.index.count()  # warm the cache: steady-state query latency
+    reader = IndexReader(spark, out_dir).cache_for_serving()  # salt-partitioned
+    # hot cache: per-query groupBy(salt) exchange is elided (PLANS.md §10)
     qset = reference_queries()
     t0 = time.perf_counter()
     reader.search_batch(qset).count()  # ALL queries, one distributed job

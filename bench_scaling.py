@@ -63,8 +63,7 @@ build_index(corpus, out, segment_size=max(128, n_docs // 256),
             num_salts=64, num_buckets=64)
 build_sec = time.perf_counter() - t0
 
-reader = IndexReader(spark, out)
-reader.index = reader.index.cache(); reader.index.count()
+reader = IndexReader(spark, out).cache_for_serving()  # salt-partitioned hot cache
 qset = reference_queries()
 # throughput: ALL queries in one distributed job (8 repeats to amortize)
 t0 = time.perf_counter()

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from solrutils_spark.index.builder import read_docs, read_stats
 from solrutils_spark.index.merge import read_index, term_bucket
 from solrutils_spark.query.exact import query_terms
-from solrutils_spark.query.wand import topk_rows, topk_slice
+from solrutils_spark.query.wand import topk_rows, topk_slice, topk_slice_batch
 
 TOPK_DDL = "doc_id long, score double"
 
@@ -62,6 +62,20 @@ class IndexReader:
         if self._docs is None:
             self._docs = read_docs(self.spark, self.index_dir)
         return self._docs
+
+    def cache_for_serving(self) -> "IndexReader":
+        """Hot-index mode: repartition the postings by ``salt`` and persist.
+
+        Every scored query stage is ``groupBy("salt").applyInPandas(...)``;
+        with the cache already hash-partitioned on salt, Catalyst elides the
+        per-query Exchange (ClusteredDistribution is satisfied by the cached
+        partitioning) — repeated queries shuffle ZERO bytes and go straight
+        from cache scan to kernel. The cluster twin is a salt-bucketed index
+        table kept resident on the serving executors.
+        """
+        self.index = self.index.repartition("salt").persist()
+        self.index.count()
+        return self
 
     def idf(self, df: int) -> float:
         n = self.stats["n_docs"]
@@ -224,14 +238,11 @@ class IndexReader:
         live_terms = sorted({t for _, idfs, _ in plans for t in idfs})
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for qid, idfs, k in plans:
-                rows = pdf[pdf["term"].isin(idfs)]
-                if rows.empty:
-                    continue
-                d, s = topk_slice(rows, idfs, avgdl, k, use_wand=True)
-                if d.size:
-                    outs.append(pd.DataFrame({"query_id": qid, "doc_id": d, "score": s}))
+            outs = [
+                pd.DataFrame({"query_id": qid, "doc_id": d, "score": s})
+                for qid, d, s in topk_slice_batch(pdf, plans, avgdl)
+                if d.size
+            ]
             if not outs:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                     {"query_id": "int64", "doc_id": "int64", "score": "float64"}

@@ -244,6 +244,64 @@ def topk_rows(
     return acc_docs[sel], acc_scores[sel]
 
 
+def topk_slice_batch(
+    term_rows: pd.DataFrame,
+    plans: list[tuple[int, dict[str, float], int]],
+    avgdl: float,
+) -> list[tuple[int, np.ndarray, np.ndarray]]:
+    """Many-queries-one-slice kernel: decode every candidate row ONCE, then
+    score all queries from the decoded arrays. A Zipf-hot term shared by most
+    of the batch decodes once instead of once per query — decode is the batch
+    path's dominant cost.
+
+    Accumulation is exhaustive with the SAME term order (df_part asc, term
+    asc) and the SAME stable-merge arithmetic as :func:`topk_slice`, and WAND
+    is prune-exact, so results are rank- and score-identical to calling
+    ``topk_slice`` per query (pinned by test_search_batch_rank_identical).
+    Returns [(query_id, doc_ids, scores)] for queries with ≥1 live term.
+    """
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    dfp: dict[str, int] = {}
+    for row in term_rows.itertuples(index=False):
+        payload = np.frombuffer(row.payload, dtype=np.uint8)
+        block_offset = np.asarray(row.block_offset, dtype=np.int32)
+        d, tf, dl = decode_run(
+            payload, int(row.df_part), block_offset, 0, len(block_offset), 0
+        )
+        tfv = tf.astype(np.float64)
+        tfn = tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+        decoded[row.term] = (d, tfn)
+        dfp[row.term] = int(row.df_part)
+
+    out = []
+    for qid, idf_by_term, k in plans:
+        terms = sorted(
+            (t for t in idf_by_term if t in decoded), key=lambda t: (dfp[t], t)
+        )
+        if not terms:
+            continue
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        for t in terms:
+            d, tfn = decoded[t]
+            nc = idf_by_term[t] * tfn
+            all_docs = np.concatenate([acc_docs, d])
+            all_scores = np.concatenate([acc_scores, nc])
+            order2 = np.argsort(all_docs, kind="mergesort")
+            sd = all_docs[order2]
+            ss = all_scores[order2]
+            boundaries = np.empty(sd.size, dtype=bool)
+            boundaries[0] = True
+            boundaries[1:] = sd[1:] != sd[:-1]
+            starts = np.flatnonzero(boundaries)
+            acc_docs = sd[starts]
+            acc_scores = np.add.reduceat(ss, starts)
+        take = min(k, acc_docs.size)
+        sel = np.lexsort((acc_docs, -acc_scores))[:take]
+        out.append((qid, acc_docs[sel], acc_scores[sel]))
+    return out
+
+
 def topk_slice(
     term_rows: pd.DataFrame,
     idf_by_term: dict[str, float],

@@ -136,6 +136,32 @@ def test_salt_span_matches_index_layout(spark, reader):
     assert bad == 0
 
 
+def test_cache_for_serving_rank_identical(spark, index_dir, oracle):
+    """Salt-partitioned hot cache must not change results (it only elides the
+    per-query exchange) — and the plan must show no shuffle feeding the kernel."""
+    r2 = IndexReader(spark, index_dir).cache_for_serving()
+    try:
+        for qid, qtext, k in reference_queries():
+            if qid % 5:
+                continue
+            got = [(x["doc_id"], x["score"]) for x in r2.search(qtext, k).collect()]
+            expected = oracle.search(qtext, k)
+            assert [d for d, _ in got] == [d for d, _ in expected], f"q{qid}"
+        df = r2.search("posting segment", 5)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the path kernel ← ... ← cache scan must contain NO per-query
+        # Exchange (the only exchange is the one-time REPARTITION_BY_COL
+        # inside the InMemoryRelation's cached plan)
+        assert "InMemoryTableScan" in plan
+        kernel_to_cache = plan.split("FlatMapGroupsInPandas", 1)[1].split(
+            "InMemoryTableScan", 1
+        )[0]
+        assert "Exchange" not in kernel_to_cache
+    finally:
+        r2.index.unpersist()
+
+
 def test_matching_count_exact(reader, oracle):
     """numFound fast path == materialized doc-set count == oracle hit count
     (single-term df shortcut AND multi-term per-slice counting)."""
