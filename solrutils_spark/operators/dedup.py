@@ -466,7 +466,9 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20)
                 stepped["id"],
                 F.least(stepped["label"], F.coalesce("plab", stepped["label"])).alias("label"),
             )
-            .localCheckpoint()
+            # non-eager: the convergence aggregate below is the materializing
+            # action, so each round is ONE job (eager would add a second)
+            .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:  # labels only decrease → fixpoint reached

@@ -172,6 +172,18 @@ def test_matching_count_exact(reader, oracle):
     assert reader.matching_count("zzzabsent") == 0
 
 
+def test_salt_span_fallback_matches_persisted(reader):
+    """Indexes built before salt geometry was persisted derive the same span
+    from (n_docs, segment_size, num_salts)."""
+    import copy
+
+    legacy = copy.copy(reader)
+    legacy.stats = {
+        k: v for k, v in reader.stats.items() if k not in ("salt_group", "n_segments")
+    }
+    assert legacy.salt_span() == reader.salt_span()
+
+
 def test_paging_offset(reader):
     full = [r["doc_id"] for r in reader.search("posting segment", 20).collect()]
     page2 = [r["doc_id"] for r in reader.search("posting segment", 5, offset=5).collect()]
