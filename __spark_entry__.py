@@ -526,6 +526,24 @@ def q_spellcheck(spark, sf_dir):
     )
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding near-dup pairs via the hyperplane-LSH bucketed path over a
+    doubled table (each vector's copy pairs at cosine 1.0; LSH recall there
+    is exactly 1 — identical vectors share every sketch — and the strongest
+    natural pair sits at 0.51, far from the 0.95 threshold, so the bucketed
+    output equals the exhaustive one and DuckDB can verify it)."""
+    from solrutils_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    pairs = embedding_near_dups(
+        doubled, vec_col="embedding", id_col="vec_id", threshold=0.95, n_planes=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
 def q_langid(spark, sf_dir):
     """Language-ID heuristic (no SQL oracle — rows-only check)."""
     from solrutils_spark.operators.textstats import detect_language
@@ -564,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "embedding_dedup": q_embedding_dedup,
         "langid": q_langid,
     }
 
@@ -789,6 +808,18 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "embedding_dedup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+            ORDER BY id_a, id_b
         """,
         "langid": r"""
             WITH w AS (

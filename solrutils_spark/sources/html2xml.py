@@ -31,6 +31,7 @@ exposed both as a pure function and as an Arrow-batched column transform.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from html import unescape
 from html.parser import HTMLParser
@@ -42,6 +43,21 @@ STYLE_DECODE = 3
 
 _INLINE_TAGS = {"br", "input", "embed", "meta"}
 _DROP_ATTRS = {"adhocenable", "valign"}
+
+_NAME_OK = re.compile(r"[^A-Za-z0-9._-]")
+
+
+def _xml_name(name: str) -> str:
+    """Sanitize a lenient-HTML tag/attribute name into a valid XML name.
+
+    Divergence note: the reference's ``doc.createElement`` would throw
+    INVALID_CHARACTER_ERR on names like ``b;`` — we map invalid characters to
+    ``_`` instead so conversion NEVER raises and output stays parseable
+    (leniency property pinned by hypothesis test)."""
+    name = _NAME_OK.sub("_", name) or "_"
+    if not (name[0].isalpha() or name[0] == "_"):
+        name = "_" + name
+    return name
 
 
 def _to_em(pixels: str) -> str | None:
@@ -93,7 +109,7 @@ class _Html2XmlParser(HTMLParser):
                             css_value = _to_em(css_value[:-2])
                             if css_value is None:
                                 continue
-                        el.set(css_name, css_value)
+                        el.set(_xml_name(css_name), css_value)
         elif name == "href":
             # html.parser already entity-unescaped the value (:145)
             if not (value.startswith("#") or value.startswith("http")):
@@ -130,7 +146,7 @@ class _Html2XmlParser(HTMLParser):
     # -- tokenizer events ------------------------------------------------------
     def _open(self, tag: str, attrs, descend: bool) -> None:
         cur = self.stack[-1]
-        el = ET.SubElement(cur, tag)
+        el = ET.SubElement(cur, _xml_name(tag))
         self.child_nodes[id(cur)] = self.child_nodes.get(id(cur), 0) + 1
         self.child_nodes[id(el)] = 0
         for k, v in attrs:
@@ -152,7 +168,7 @@ class _Html2XmlParser(HTMLParser):
         if tag in ("script", "style") and self._skip:
             self._skip -= 1
         # pop only on a name match with the current element (:80-84)
-        if len(self.stack) > 1 and self.stack[-1].tag == tag:
+        if len(self.stack) > 1 and self.stack[-1].tag == _xml_name(tag):
             self.stack.pop()
 
     def handle_data(self, data):

@@ -88,6 +88,106 @@ def incremental_index_writer(out_dir: str, segment_size: int = 4096):
     return write_batch
 
 
+def sessionize_queries(
+    log_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user query SESSIONS with an inactivity
+    gap, via ``applyInPandasWithState`` (GroupState + event-time timeout).
+
+    Input: (user string, ts timestamp, q string). Output: one row per CLOSED
+    session (user, session_start, session_end, n_queries, n_distinct_q).
+    A session closes when no event arrives within ``gap`` of its last event
+    (decided by watermark-driven timers, so late data within the watermark
+    still extends the right session).
+
+    This is the brief's "custom stateful streaming operator" shape: the state
+    (session bounds + counts + distinct-query sketch) lives in the state
+    store keyed by user; the pandas function sees each micro-batch's rows for
+    the key plus its state, and emits only completed sessions downstream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        "user string, session_start timestamp, session_end timestamp, "
+        "n_queries long, n_distinct_q long"
+    )
+    state_schema = "start long, end long, n long, qs array<string>"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user,) = key
+        if state.hasTimedOut:
+            start, end, n, qs = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user": [user],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "n_queries": [n],
+                    "n_distinct_q": [len(set(qs))],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        order = ts_ms.argsort(kind="stable")
+        ts_ms = ts_ms[order]
+        qvals = rows["q"].to_numpy()[order]
+        if state.exists:
+            start, end, n, qs = state.get
+            qs = list(qs)
+        else:
+            start, end, n, qs = int(ts_ms[0]), int(ts_ms[0]), 0, []
+        closed = []
+        for t, q in zip(ts_ms, qvals):
+            t = int(t)
+            if n and t - end > gap_ms:  # gap exceeded → close current session
+                closed.append((start, end, n, len(set(qs))))
+                start, n, qs = t, 0, []
+            end = max(end, t) if n else t
+            start = min(start, t)
+            n += 1
+            qs.append(q)
+        state.update((start, end, n, qs))
+        # event-time timeout: fire `gap` after the session's last event
+        state.setTimeoutTimestamp(end + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user": [user] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, *_ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, *_ in closed],
+                    "n_queries": [c for *_, c, _ in closed],
+                    "n_distinct_q": [d for *_, d in closed],
+                }
+            )
+
+    return (
+        log_stream.withWatermark("ts", watermark)
+        .groupBy("user")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _duration_ms(text: str) -> int:
+    n, unit = text.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(n) * mult
+
+
 def streaming_query_stats(log_stream: DataFrame, window: str = "1 day",
                           watermark: str = "1 hour") -> DataFrame:
     """A9 as a stream: tumbling-window per-query counts with late-data bound.

@@ -324,6 +324,29 @@ def test_html2xml_reference_semantics(spark):
     assert ET.fromstring(out).find("p").get("id") == "a"
 
 
+def test_html2xml_lenient_on_arbitrary_input():
+    """Property: like the reference tokenizer, conversion never raises and
+    always yields a parseable XML document, whatever bytes arrive."""
+    import xml.etree.ElementTree as ET
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from solrutils_spark.sources.html2xml import html_to_xml_string
+
+    html_ish = st.text(
+        alphabet=st.sampled_from(list("<>/=\"' abcdiv&;#!-px123\n\t")), max_size=200
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(html_ish)
+    def prop(s):
+        out = html_to_xml_string(s)
+        ET.fromstring(out)  # well-formed, parseable
+
+    prop()
+
+
 def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 

@@ -12,6 +12,7 @@ from solrutils_spark.index.merge import merge_segments
 from solrutils_spark.index.segments import read_segments
 from solrutils_spark.streaming.incremental import (
     incremental_index_writer,
+    sessionize_queries,
     streaming_query_stats,
 )
 
@@ -85,3 +86,43 @@ def test_streaming_query_stats(spark, tmp_path):
            for r in spark.sql("select * from qstats").collect()}
     assert out[("2024-01-01", "alpha")] == (2, 1)
     assert out[("2024-01-02", "beta")] == (1, 0)
+
+
+def test_sessionize_queries_stateful(spark, tmp_path):
+    """applyInPandasWithState session windows: gap splits within a batch AND
+    watermark-driven timeout closes the trailing session."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows1 = [
+        # user a: two queries 5 min apart (one session), then a 2h gap → new session
+        {"user": "a", "ts": "2024-01-01T10:00:00", "q": "x"},
+        {"user": "a", "ts": "2024-01-01T10:05:00", "q": "y"},
+        {"user": "a", "ts": "2024-01-01T12:30:00", "q": "x"},
+        # user b: single query
+        {"user": "b", "ts": "2024-01-01T10:00:00", "q": "z"},
+    ]
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    # second file far in the future: advances the watermark so the trailing
+    # sessions time out and flush
+    (src / "p2.json").write_text(json.dumps(
+        {"user": "c", "ts": "2024-01-02T12:00:00", "q": "w"}))
+
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, q string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize_queries(stream, gap="30 minutes", watermark="1 minute")
+    query = (
+        sessions.writeStream.format("memory").queryName("sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(180)
+    got = {
+        (r["user"], str(r["session_start"])[11:16]): (r["n_queries"], r["n_distinct_q"])
+        for r in spark.sql("select * from sess").collect()
+    }
+    # first a-session: 2 queries, 2 distinct; second a-session and b flushed by timeout
+    assert got[("a", "10:00")] == (2, 2)
+    assert got[("a", "12:30")] == (1, 1)
+    assert got[("b", "10:00")] == (1, 1)
