@@ -49,10 +49,17 @@ class PlanExecutor:
         collection: DataFrame,
         reader: IndexReader | None = None,
         id_column: str = "doc_id",
+        filter_cache_size: int = 32,
     ):
         self.collection = collection
         self.reader = reader
         self.id_column = id_column
+        # Solr filterCache twin: fq expressions recur across requests, so the
+        # filtered doc_id domain is persisted per distinct fq-set and reused
+        # (Solr caches the DocSet per fq; BulkUpdateHandler.java:57-61 leans
+        # on it). LRU-bounded; entries unpersist on eviction.
+        self.filter_cache_size = filter_cache_size
+        self._filter_cache: dict[tuple[str, ...], DataFrame] = {}
 
     # -- public API ----------------------------------------------------------
     def search(self, model: SearchModel, json_query: dict) -> dict:
@@ -97,7 +104,7 @@ class PlanExecutor:
             # filter never materializes on the driver and WAND pruning stays
             # on (BulkUpdateHandler.java:57-61 DocSet semantics, distributed)
             filter_df = (
-                domain.select(self.id_column) if plan.get_params("fq") else None
+                self._cached_filter_ids(plan) if plan.get_params("fq") else None
             )
             topk = self.reader.search(q, rows, offset=start, filter_df=filter_df)
             hits = self.reader.fetch(topk, self._fl(plan))
@@ -142,6 +149,18 @@ class PlanExecutor:
         for fq in plan.get_params("fq") or []:
             df = df.filter(F.expr(fq))
         return df
+
+    def _cached_filter_ids(self, plan: QueryPlan) -> DataFrame:
+        """Persisted doc_id domain for the plan's fq set (filterCache twin)."""
+        key = tuple(sorted(plan.get_params("fq") or []))
+        hit = self._filter_cache.pop(key, None)
+        if hit is None:
+            hit = self._filtered_domain(plan).select(self.id_column).persist()
+            if len(self._filter_cache) >= self.filter_cache_size:
+                oldest = next(iter(self._filter_cache))  # least-recently-used
+                self._filter_cache.pop(oldest).unpersist()
+        self._filter_cache[key] = hit  # re-insert → most-recently-used
+        return hit
 
     def _scored_domain(self, domain: DataFrame, q: str) -> DataFrame:
         """Docs matching ≥1 query term AND all filters (the facet domain)."""

@@ -373,6 +373,31 @@ def test_xslt_distributed(spark):
     assert all(r["doc"].startswith("<add>") and 'name="id">A1' in r["doc"] for r in rows)
 
 
+def test_filter_cache_reuse_and_lru_eviction(spark):
+    """Solr filterCache twin: identical fq sets reuse ONE persisted domain;
+    the least-recently-used entry is unpersisted at capacity."""
+    from solrutils_spark.operators.executor import PlanExecutor
+    from solrutils_spark.plans.plan import QueryPlan
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    ex = PlanExecutor(df, filter_cache_size=2)
+
+    p1 = QueryPlan()
+    p1.add("fq", "doc_id % 2 = 0")
+    a = ex._cached_filter_ids(p1)
+    assert a is ex._cached_filter_ids(p1)  # hit: same persisted DataFrame
+    assert a.count() == 50
+
+    p2 = QueryPlan(); p2.add("fq", "doc_id > 50")
+    p3 = QueryPlan(); p3.add("fq", "doc_id > 90")
+    ex._cached_filter_ids(p2)
+    ex._cached_filter_ids(p1)          # touch p1 → p2 becomes LRU
+    ex._cached_filter_ids(p3)          # capacity 2 → evicts p2
+    assert ("doc_id > 50",) not in ex._filter_cache
+    assert ("doc_id % 2 = 0",) in ex._filter_cache
+    assert ex._cached_filter_ids(p2).count() == 49  # recomputed fine
+
+
 def test_json_sink(spark):
     df = spark.createDataFrame([(1, 'say "hi"')], "id long, t string")
     arr = docs_json_array(df)
