@@ -52,6 +52,24 @@ def _shingles(text: str, k: int = 5) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+def _shingles_col(text_col, k: int):
+    """Column twin of :func:`_shingles` (whole-stage codegen — shared by the
+    JVM minhash signatures and the JVM jaccard verify)."""
+    t = text_col if not isinstance(text_col, str) else F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n = F.size(toks)
+    return (
+        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------- minhash+LSH ----
 
 _MERSENNE = (1 << 61) - 1
@@ -179,21 +197,10 @@ def minhash_signatures_jvm(
     verify semantics are identical — verified-pair outputs agree up to LSH
     recall, and both are deterministic.
     """
-    t = F.col(text_col)
-    toks = F.split(F.trim(t), r"\s+")
-    n = F.size(toks)
     # same shingle rule as _shingles(): <k tokens → one joined shingle; empty → none
-    shingles = (
-        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
-        .when(n < shingle_k, F.array(F.array_join(toks, " ")))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), n - shingle_k),
-                lambda i: F.array_join(F.slice(toks, i + 1, shingle_k), " "),
-            )
-        )
+    exploded = df.select(
+        id_col, F.explode_outer(_shingles_col(text_col, shingle_k)).alias("_sh")
     )
-    exploded = df.select(id_col, F.explode_outer(shingles).alias("_sh"))
     sentinel = (1 << 63) - 1  # empty docs: all-sentinel signature
     aggs = [
         F.min(
@@ -498,26 +505,28 @@ def verify_ngram_jaccard(
     threshold: float = 0.8,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs (broadcast-friendly:
-    only candidate rows' texts move, via two semi-restricted joins)."""
-    texts = df.select(F.col(id_col), F.col(text_col))
-    a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    """Exact Jaccard over shingle SETS for candidate pairs — all JVM.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            jac = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                sa, sb = set(_shingles(ta or "", shingle_k)), set(_shingles(tb or "", shingle_k))
-                union = len(sa | sb)
-                jac.append(len(sa & sb) / union if union else 1.0)
-            out = pdf[["id_a", "id_b"]].copy()
-            out["jaccard"] = jac
-            yield out
-
-    verified = joined.mapInPandas(gen, "id_a long, id_b long, jaccard double")
-    return verified.filter(F.col("jaccard") >= threshold)
+    Shingling is the shared codegen expression (:func:`_shingles_col`);
+    |A∩B| / |A∪B| is ``array_intersect``/``array_union`` size arithmetic
+    (both dedup, matching the Python set semantics; empty∪empty → 1.0).
+    Only candidate rows' shingle arrays move through the two joins — no
+    Python anywhere in the verify stage (round-1 ran a per-pair Python
+    set-ops loop here)."""
+    sets = df.select(
+        F.col(id_col), F.array_distinct(_shingles_col(text_col, shingle_k)).alias("_sset")
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_sset").alias("_sa"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_sset").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_all_pairs(

@@ -124,32 +124,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     schema = _extend_schema(with_md5, "fp_winnow", "array<long>")
     W, K, BASE, MOD = 32, 8, 257, (1 << 31) - 1
 
+    pows = np.array(
+        [pow(BASE, K - 1 - j, MOD) for j in range(K)], dtype=np.uint64
+    )
+    mod = np.uint64(MOD)
+
+    def window_hashes(b: np.ndarray) -> np.ndarray:
+        """All K-gram polynomial hashes mod 2^31-1, fully vectorized: K
+        column passes over the sliding-window view (each step's accumulator
+        stays < 2^40, safely inside uint64 — no per-byte Python loop; values
+        identical to the round-1 rolling recurrence)."""
+        win = np.lib.stride_tricks.sliding_window_view(b, K).astype(np.uint64)
+        h = np.zeros(win.shape[0], dtype=np.uint64)
+        for j in range(K):
+            h = (h + win[:, j] * pows[j]) % mod
+        return h.astype(np.int64)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sketches = []
             for text in pdf[text_col].fillna(""):
                 b = np.frombuffer(
                     " ".join(text.lower().split()).encode("utf-8", "ignore"), dtype=np.uint8
-                ).astype(np.int64)
+                )
                 if b.size < K:
                     sketches.append([])
                     continue
-                # all K-gram Rabin-Karp hashes, vectorized via powers
-                pows = np.power(BASE, np.arange(K - 1, -1, -1), dtype=object)
-                # windowed dot products mod MOD (object dtype avoids overflow)
-                n = b.size - K + 1
-                h = np.zeros(n, dtype=np.int64)
-                acc = int((b[:K] * pows).sum() % MOD)
-                h[0] = acc
-                top = int(pows[0])
-                for i in range(1, n):  # O(len) rolling update
-                    acc = ((acc - int(b[i - 1]) * top) * BASE + int(b[i + K - 1])) % MOD
-                    h[i] = acc
+                h = window_hashes(b)
                 # winnowing: min hash per window of W
-                if n <= W:
+                if h.size <= W:
                     sketches.append([int(h.min())])
                 else:
-                    mins = pd.Series(h).rolling(W).min().dropna().astype(np.int64)
+                    mins = np.lib.stride_tricks.sliding_window_view(h, W).min(axis=1)
                     sketches.append(sorted(set(mins.tolist()))[:64])
             pdf["fp_winnow"] = sketches
             yield pdf[cols + ["fp_winnow"]]
