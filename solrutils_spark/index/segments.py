@@ -125,20 +125,30 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
         dls = np.repeat(lens, lens).astype(np.int64)
         terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-        flat = pd.DataFrame({"term": terms, "doc_id": doc_ids, "dl": dls})
-        counted = (
-            flat.groupby(["term", "doc_id"], sort=True)
-            .agg(tf=("dl", "size"), dl=("dl", "first"))
-            .reset_index()
-        )
+        # (term, doc) → tf aggregation WITHOUT a pandas object-key groupby:
+        # factorize tokens to int codes, sort only the UNIQUE terms
+        # lexicographically (vocab ≪ tokens), then one integer lexsort +
+        # boundary diff gives the same term-sorted posting rows
+        codes, uniques = pd.factorize(terms)
+        lex = np.argsort(uniques)  # lexicographic order of unique terms
+        rank = np.empty(len(uniques), dtype=np.int64)
+        rank[lex] = np.arange(len(uniques))
+        key = rank[codes]
+        sort_idx = np.lexsort((doc_ids, key))
+        k_s = key[sort_idx]
+        d_s = doc_ids[sort_idx]
+        dl_s = dls[sort_idx]
+        new_group = np.empty(k_s.size, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(new_group)
+        tf_all = np.diff(np.append(starts, k_s.size)).astype(np.int64)
+        d_all = d_s[starts]
+        dl_all = dl_s[starts]
+        uniq_terms = uniques[lex]
+        term_counts = np.bincount(k_s[starts], minlength=len(uniques)).astype(np.int64)
         # one vectorized encode over ALL terms (no per-term Python loop)
-        term_arr = counted["term"].to_numpy()
-        uniq_terms, term_counts = np.unique(term_arr, return_counts=True)
-        d_all = counted["doc_id"].to_numpy(np.int64)
-        enc = encode_many(
-            term_counts, d_all,
-            counted["tf"].to_numpy(np.int64), counted["dl"].to_numpy(np.int64),
-        )
+        enc = encode_many(term_counts, d_all, tf_all, dl_all)
         n_terms = len(uniq_terms)
         term_starts = np.zeros(n_terms, dtype=np.int64)
         np.cumsum(term_counts[:-1], out=term_starts[1:])
