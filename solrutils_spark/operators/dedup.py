@@ -495,6 +495,41 @@ def near_dup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Da
     ).withColumn("keep", F.col(id_col) == F.col("cluster_id"))
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    exact: bool = True,
+    near: bool = True,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """ONE-CALL training-data dedup: exact (sha256 hash-groupBy, lowest id
+    kept) → MinHash+LSH near-dup pairs (all-JVM signatures, capped buckets) →
+    exact-Jaccard verify (JVM) → connected components → keep the lowest-id
+    member per cluster. Returns the surviving rows of ``df``.
+
+    This is the operator a 100 TB pipeline actually calls; every stage is a
+    bounded-shuffle DataFrame transform (see the per-stage docstrings)."""
+    out = dedup_exact_keep_first(df, text_col, id_col) if exact else df
+    if near:
+        pairs = minhash_dedup_pairs(
+            out, text_col, id_col,
+            num_perm=num_perm, bands=bands, threshold=threshold,
+            shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+        )
+        out = (
+            near_dup_keep(out, pairs.select("id_a", "id_b"), id_col)
+            .filter(F.col("keep"))
+            .drop("cluster_id", "keep")
+        )
+    return out
+
+
 # -------------------------------------------------------- ngram jaccard ----
 
 def verify_ngram_jaccard(

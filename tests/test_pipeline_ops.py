@@ -195,6 +195,26 @@ def test_lsh_hot_bucket_cap(spark):
     assert kept.agg(F.max("id_b")).first()[0] == 4
 
 
+def test_dedup_corpus_end_to_end(spark):
+    """One-call dedup: exact dups collapse, near-dup chains keep one doc,
+    unique docs survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1 → dropped
+        (3, base.replace("today", "tonight")),       # near dup of 1 → dropped
+        (4, "completely different text about spark inverted index engines here"),
+        (5, "another unrelated document mentioning pasta sauce and cooking"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from solrutils_spark.operators.dedup import dedup_corpus
+
+    kept = sorted(r["doc_id"] for r in dedup_corpus(
+        df, num_perm=64, bands=16, threshold=0.5, shingle_k=3
+    ).collect())
+    assert kept == [1, 4, 5]
+
+
 def test_dedup_clusters_long_chain(spark):
     """Connected components: a 50-hop chain (adversarial diameter — pointer
     jumping must converge in O(log n) rounds), two small cliques, singletons."""
