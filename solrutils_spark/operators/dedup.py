@@ -473,9 +473,11 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20)
                 stepped["id"],
                 F.least(stepped["label"], F.coalesce("plab", stepped["label"])).alias("label"),
             )
-            # non-eager: the convergence aggregate below is the materializing
-            # action, so each round is ONE job (eager would add a second)
-            .localCheckpoint(eager=False)
+            # eager: non-eager checkpoints can fail to be reused by later
+            # actions under AQE (each action re-plans → recomputes the whole
+            # label chain; measured 2× blowup) — the extra job per round is
+            # the cheaper, predictable cost
+            .localCheckpoint(eager=True)
         )
         s = labels.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:  # labels only decrease → fixpoint reached
