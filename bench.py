@@ -90,8 +90,12 @@ def main() -> None:
 
     # scored+fq via the distributed cogroup filter path (round 2: no driver
     # collect, WAND stays on) — broad ~1/3 filter over the built corpus
-    # persisted like Solr's filterCache DocSet (the executor does the same)
-    fdf = reader.docs.filter("pmod(doc_id, 3) = 0").select("doc_id").persist()
+    # persisted pre-salted + salt-partitioned, like Solr's filterCache DocSet
+    # (the executor's filterCache does the same): the per-query filter-side
+    # exchange of the cogroup is elided
+    fdf = reader.salted_filter(
+        reader.docs.filter("pmod(doc_id, 3) = 0").select("doc_id")
+    ).repartition("salt").persist()
     fdf.count()
     t0 = time.perf_counter()
     for _qid, qtext, k in qset[::4]:

@@ -151,11 +151,19 @@ class PlanExecutor:
         return df
 
     def _cached_filter_ids(self, plan: QueryPlan) -> DataFrame:
-        """Persisted doc_id domain for the plan's fq set (filterCache twin)."""
+        """Persisted doc_id domain for the plan's fq set (filterCache twin).
+
+        When a reader is attached, the cached domain is pre-salted AND
+        hash-partitioned by salt, so repeated scored+fq requests elide the
+        filter-side exchange of the cogroup entirely (the Solr analog keeps
+        cached DocSets in index order)."""
         key = tuple(sorted(plan.get_params("fq") or []))
         hit = self._filter_cache.pop(key, None)
         if hit is None:
-            hit = self._filtered_domain(plan).select(self.id_column).persist()
+            ids = self._filtered_domain(plan).select(self.id_column)
+            if self.reader is not None:
+                ids = self.reader.salted_filter(ids).repartition("salt")
+            hit = ids.persist()
             if len(self._filter_cache) >= self.filter_cache_size:
                 oldest = next(iter(self._filter_cache))  # least-recently-used
                 self._filter_cache.pop(oldest).unpersist()

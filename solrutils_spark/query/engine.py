@@ -139,6 +139,19 @@ class IndexReader:
             g = max(1, -(-n_segments // int(self.stats["num_salts"])))
         return int(g) * seg
 
+    def salted_filter(self, filter_df: DataFrame) -> DataFrame:
+        """(doc_id) → (doc_id, salt) for the cogroup filter path. Passes
+        through unchanged if the caller already salted it — a filterCache can
+        hand in ``salted_filter(ids).repartition("salt").persist()`` so the
+        per-query filter-side exchange is elided too (the Solr analog keeps
+        DocSets in index order for cheap intersection)."""
+        if "salt" in filter_df.columns:
+            return filter_df
+        span = self.salt_span()
+        return filter_df.select(
+            F.col(filter_df.columns[0]).cast("long").alias("doc_id")
+        ).withColumn("salt", (F.col("doc_id") / F.lit(span)).cast("int"))
+
     def search(
         self,
         query_text: str,
@@ -167,10 +180,7 @@ class IndexReader:
         cand = self._candidate_rows(terms)
 
         if filter_df is not None:
-            span = self.salt_span()
-            fids = filter_df.select(
-                F.col(filter_df.columns[0]).cast("long").alias("doc_id")
-            ).withColumn("salt", (F.col("doc_id") / F.lit(span)).cast("int"))
+            fids = self.salted_filter(filter_df)
 
             def ckernel(cand_pdf: pd.DataFrame, fid_pdf: pd.DataFrame) -> pd.DataFrame:
                 if cand_pdf.empty or fid_pdf.empty:
