@@ -215,6 +215,17 @@ def test_dedup_corpus_end_to_end(spark):
     assert kept == [1, 4, 5]
 
 
+def test_dedup_corpus_plan_is_bounded(documents):
+    """Scale shape: the one-call dedup plan must contain NO cartesian product
+    anywhere — every pair generation goes through keyed (band/bucket) joins."""
+    from solrutils_spark.operators.dedup import dedup_corpus
+
+    out = dedup_corpus(documents.select("doc_id", "text"), shingle_k=3)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dedup_clusters_long_chain(spark):
     """Connected components: a 50-hop chain (adversarial diameter — pointer
     jumping must converge in O(log n) rounds), two small cliques, singletons."""
