@@ -58,15 +58,26 @@ def build_index(
             shutil.rmtree(out / sub, ignore_errors=True)
 
     if not (resume and docs_path.exists()):
-        docs = build_docs(corpus)
+        caches: list = []
+        docs = build_docs(corpus, cache_registry=caches)
         docs.write.mode("overwrite").parquet(str(docs_path))
+        for c in caches:  # skinny-key cache is dead once docs.parquet exists
+            c.unpersist()
     docs = spark.read.parquet(str(docs_path))
 
     build_segments(docs, out_dir, segment_size=segment_size, resume=resume)
-    # lineage is driver-local JSON — aggregate without any Spark job
-    lin_rows = [
-        json.loads(f.read_text()) for f in sorted((out / "lineage").glob("seg=*.json"))
-    ]
+    # lineage is driver-local JSON — aggregate without any Spark job.
+    # Tolerant parse (same rules as committed_segments): a torn lineage file
+    # for a segment NOT rebuilt in this run (resume path) must not crash the
+    # aggregation — skip unparseable rows, count only committed ones.
+    lin_rows = []
+    for f in sorted((out / "lineage").glob("seg=*.json")):
+        try:
+            row = json.loads(f.read_text())
+        except ValueError:
+            continue
+        if row.get("status") == "committed":
+            lin_rows.append(row)
     n_docs = sum(int(r["rows_in"]) for r in lin_rows)
     total_tokens = sum(int(r["tokens"]) for r in lin_rows)
     n_segments = (max((int(r["segment_id"]) for r in lin_rows), default=-1)) + 1

@@ -8,21 +8,40 @@ Reference semantics covered:
   156-189): ``content`` is kept as a column and its sha256 recorded, giving
   the per-row invariant vs the source table required by BASELINE.json.
 
-doc_id contract (SURVEY.md §7.0): dense int64 = global rank in the total
-order (repo, path, commit) over the deduplicated corpus — deterministic for a
-given input regardless of partitioning.
+doc_id contract (SURVEY.md §7.0): dense int64 in [0, n) — deterministic for a
+given input regardless of partitioning. The total order realizing the ids is
+(key-hash bucket, repo, path, commit): a pure function of the data, so two
+builds of the same corpus (at ANY parallelism) assign identical ids.
 
-Scale note: a naive ``row_number() over (order by ...)`` collapses to ONE
-partition. We instead range-partition on the key, rank locally, and add
-per-partition offsets (two cheap passes) — the standard scalable dense-id
-pattern; works unchanged at 10^12 rows since the only driver-side state is
-one count per partition.
+Scale note (round 3): a naive ``row_number() over (order by ...)`` collapses
+to ONE partition, and the round-2 fix (repartitionByRange + local rank +
+per-partition offsets) still paid a corpus-size-independent multi-job floor —
+the range-partitioner SAMPLING job + a per-partition COUNT job + a broadcast
+join (~6 s at any scale; measured 0.45 phase efficiency in BENCH/BASELINE.md).
+Hash-bucketing removes the sampler and the join: bucket assignment is
+``xxhash64(key) % P`` (no sampling pass), per-bucket counts ride on the ONE
+aggregation job that also materializes the skinny-key cache, and the bucket →
+offset map is a tiny literal array lookup (no broadcast join). One keyed
+shuffle total, same as any dense-id scheme must pay. A side benefit at 100 TB:
+segments (doc_id ranges) become uniform hash samples of the corpus instead of
+lexicographic (repo-clustered) runs — per-segment token counts equalize, so no
+hot repo can straggle a segment task.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Default id-bucket count. A CONSTANT, not defaultParallelism: the bucket a
+# key lands in is part of the doc_id value, so deriving P from cluster size
+# would make ids differ between a local[4] and a local[32] build of the same
+# corpus (breaking the §7.0 pure-function-of-data contract). 1024 buckets keep
+# the per-bucket counts job and the offset literal array trivial while giving
+# every realistic cluster full shuffle parallelism; at extreme scale (where a
+# single bucket's skinny keys outgrow one task's sort) pass ``num_partitions``
+# explicitly — it is a determinism-affecting build config, like segment_size.
+_ID_BUCKETS = 1024
 
 
 def dedup_latest_commit(corpus: DataFrame) -> DataFrame:
@@ -38,64 +57,79 @@ def dedup_latest_commit(corpus: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Add dense deterministic ``doc_id`` = rank in total order (repo,path,commit)."""
+    """Add dense deterministic ``doc_id`` — one counting job, one shuffle.
+
+    Scheme: ``bucket = pmod(xxhash64(repo, path, commit), P)``; rank rows
+    within each bucket by (repo, path, commit); ``doc_id = offset[bucket] +
+    local_rank`` where offsets are prefix sums of the per-bucket counts.
+    Dense, and with the default P (``_ID_BUCKETS``, a constant) a pure
+    function of the data — independent of the input's physical partitioning
+    AND of cluster size (pinned by test_doc_ids_dense_and_parallelism_
+    invariant). Passing ``num_partitions`` explicitly changes the id order
+    deterministically for that P (a build-config knob, like segment_size).
+
+    Jobs: exactly ONE extra action (the per-bucket counts — P longs to the
+    driver); the rank+offset arithmetic rides inside whatever action consumes
+    the result. No range-sampler pass, no offsets broadcast join (the bucket →
+    offset map is a P-element literal array — trivial at P=1024).
+    """
     if num_partitions is None:
-        num_partitions = corpus.sparkSession.sparkContext.defaultParallelism
-    ranged = corpus.repartitionByRange(num_partitions, "repo", "path", "commit")
-    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
-    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_lrn", F.row_number().over(w)
+        num_partitions = _ID_BUCKETS
+    P = int(num_partitions)
+    bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(P)).cast("int")
+    tagged = corpus.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in tagged.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(P):
+        offsets.append(acc)
+        acc += int(counts.get(b, 0))
+    off_col = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("_bkt") + 1
+    ).cast("long")
+    w = Window.partitionBy("_bkt").orderBy("repo", "path", "commit")
+    return (
+        tagged.withColumn("_lrn", F.row_number().over(w))
+        .withColumn("doc_id", (off_col + F.col("_lrn") - 1).cast("long"))
+        .drop("_bkt", "_lrn")
     )
-    local = local.persist()
-    counts = {r["_pid"]: r["cnt"] for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = corpus.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    out = (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", (F.col("_off") + F.col("_lrn") - 1).cast("long"))
-        .drop("_pid", "_lrn", "_off")
-    )
-    return out
 
 
-def build_docs(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def build_docs(
+    corpus: DataFrame,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """corpus → docs(doc_id, repo, path, commit, lang, content, content_sha256).
 
-    **Skinny-key plan**: dedup (E9) and dense-rank assignment both run over
+    **Skinny-key plan**: dedup (E9) and dense-id assignment both run over
     (repo, path, commit) keys only — ``content`` bytes are NEVER shuffled (at
     10^12 files the content column is ~the whole corpus; shuffling it twice
     for id assignment was the build's dominant serial cost). The ranked key
     table then joins back to the corpus on the unique key.
 
     Exact-duplicate (repo, path, commit) rows (possible only in malformed
-    inputs — commits are content hashes) are resolved deterministically by
-    max(content), detected with a cheap count comparison first.
+    inputs — commits are content hashes) yield duplicate doc_ids after the
+    join, which the segment builder rejects loudly (doc_id uniqueness assert).
 
     ``doc_len`` is attached later by the postings build (it is defined as the
     post-analysis token count, so it falls out of tokenization — one pass).
-    """
-    spark = corpus.sparkSession
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
 
-    # (repo, path, commit) is assumed unique (commits are content hashes);
-    # a malformed input with exact-duplicate keys yields duplicate doc_ids
-    # after the join, which the segment builder rejects loudly (doc_id
-    # uniqueness assert) — checking upfront would cost two full corpus passes.
+    ``cache_registry``: if given, DataFrames persisted internally are appended
+    to it so the caller can ``unpersist()`` them once the result is
+    materialized (build_index does — otherwise the skinny-key cache pins
+    executor storage for the application's lifetime in long-lived sessions).
+    """
     keys = corpus.select("repo", "path", "commit")
 
     # E9 upsert on keys only: latest commit per (repo, path). PERSIST the
-    # skinny result: the dense-rank assignment needs two more passes over it
-    # (range-partitioner sampling + per-partition counts) and each pass would
-    # otherwise recompute the SOURCE scan — expensive when the source is a
-    # generator/UDF or a non-pruning format. Keys are 3 short strings/row
-    # (MEMORY_AND_DISK spills fine; at petabyte scale this is the standard
-    # skinny-side cache, ~1e-4 of corpus bytes).
+    # skinny result: id assignment needs two passes over it (bucket counts +
+    # the final rank/join) and each would otherwise recompute the SOURCE scan
+    # — expensive when the source is a generator/UDF or a non-pruning format.
+    # Keys are 3 short strings/row (MEMORY_AND_DISK spills fine; at petabyte
+    # scale this is the standard skinny-side cache, ~1e-4 of corpus bytes).
     from pyspark import StorageLevel
 
     latest = (
@@ -103,7 +137,9 @@ def build_docs(corpus: DataFrame, num_partitions: int | None = None) -> DataFram
         .agg(F.max("commit").alias("commit"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # dense rank on the skinny key table
+    if cache_registry is not None:
+        cache_registry.append(latest)
+    # dense ids on the skinny key table (one counts job — fills the cache too)
     ranked = assign_doc_ids(latest, num_partitions)  # (repo, path, commit, doc_id)
     # single wide pass: join ids onto the corpus (content moves once, into
     # the join — hash-partitioned by the unique key, no sort of content)

@@ -54,12 +54,21 @@ def _shingles(text: str, k: int = 5) -> list[str]:
 
 def _shingles_col(text_col, k: int):
     """Column twin of :func:`_shingles` (whole-stage codegen — shared by the
-    JVM minhash signatures and the JVM jaccard verify)."""
+    JVM minhash signatures and the JVM jaccard verify).
+
+    Tokenization matches Python ``str.split()`` exactly: empty tokens are
+    FILTERED, so boundary ``\\t/\\n/\\r`` (e.g. a trailing newline, ubiquitous
+    in file-derived corpora) never injects an empty-string token. (Round 2
+    used ``F.trim`` — space-only — so such texts grew a phantom token that
+    perturbed every shingle and let trailing-newline near-dups escape the
+    verify stage.)"""
     t = text_col if not isinstance(text_col, str) else F.col(text_col)
-    toks = F.split(F.trim(t), r"\s+")
+    toks = F.filter(
+        F.split(F.coalesce(t, F.lit("")), r"\s+"), lambda x: F.length(x) > 0
+    )
     n = F.size(toks)
     return (
-        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
+        F.when(n == 0, F.array().cast("array<string>"))
         .when(n < k, F.array(F.array_join(toks, " ")))
         .otherwise(
             F.transform(
@@ -436,14 +445,23 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20)
     addDocument-with-unique-key semantics generalized to near-dup graphs).
 
     Iterative min-label propagation PLUS pointer jumping (label ← label of
-    label) per round → O(log diameter) rounds, each one join+agg. Dedup
-    graphs have tiny components (pairs/triples), so 2-3 rounds typical;
-    pointer jumping covers adversarial chains. Convergence is detected via
-    the monotone-decreasing sum of labels (one cheap agg per round);
-    ``localCheckpoint`` truncates lineage so plans stay flat at scale.
+    label) per round → O(log diameter) rounds. Dedup graphs have tiny
+    components (pairs/triples), so 2-3 rounds typical; pointer jumping covers
+    adversarial chains. Convergence is detected via the monotone-decreasing
+    sum of labels.
+
+    Round-3 cost shape: ONE Spark action per round — the convergence
+    aggregation doubles as the cache-materializing action for the round's
+    persisted labels (plan-level ``persist`` is safely reused across actions,
+    unlike the round-2 non-eager localCheckpoint that AQE re-planned; the
+    round-2 eager checkpoint cost a SECOND job per round). Lineage is
+    truncated with an eager ``localCheckpoint`` every ``_CKPT_EVERY`` rounds
+    and once on the final result, so plan depth stays bounded at scale while
+    typical 2-3-round graphs never pay a checkpoint job mid-loop.
     Only ids that appear in ``pairs`` are returned — resolve singletons with
     :func:`near_dup_keep`.
     """
+    _CKPT_EVERY = 4
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .union(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
@@ -454,7 +472,8 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20)
         edges.select(F.col("x").alias("id")).distinct().withColumn("label", F.col("id"))
     )
     prev_sum = None
-    for _ in range(max_iter):
+    persisted: DataFrame | None = None
+    for i in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(F.col("id").alias("y"), F.col("label").alias("ylab")), "y"
@@ -467,24 +486,32 @@ def dedup_clusters(pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20)
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
         )
         jump = stepped.select(F.col("id").alias("pid"), F.col("label").alias("plab"))
-        labels = (
-            stepped.join(jump, stepped["label"] == jump["pid"], "left")
-            .select(
-                stepped["id"],
-                F.least(stepped["label"], F.coalesce("plab", stepped["label"])).alias("label"),
-            )
-            # eager: non-eager checkpoints can fail to be reused by later
-            # actions under AQE (each action re-plans → recomputes the whole
-            # label chain; measured 2× blowup) — the extra job per round is
-            # the cheaper, predictable cost
-            .localCheckpoint(eager=True)
+        new_labels = stepped.join(jump, stepped["label"] == jump["pid"], "left").select(
+            stepped["id"],
+            F.least(stepped["label"], F.coalesce("plab", stepped["label"])).alias("label"),
         )
-        s = labels.agg(F.sum("label")).collect()[0][0]
+        if (i + 1) % _CKPT_EVERY == 0:
+            # periodic lineage cut (eager: AQE re-plans non-eager checkpoints
+            # per action → whole-chain recompute, measured 2× blowup)
+            new_labels = new_labels.localCheckpoint(eager=True)
+            new_persisted = None
+        else:
+            new_labels = new_labels.persist()
+            new_persisted = new_labels
+        s = new_labels.agg(F.sum("label")).collect()[0][0]  # fills the cache too
+        if persisted is not None:
+            persisted.unpersist()
+        labels, persisted = new_labels, new_persisted
         if s == prev_sum:  # labels only decrease → fixpoint reached
             break
         prev_sum = s
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # detach the result from the loop's cache before releasing it
+    out = out.localCheckpoint(eager=True)
+    if persisted is not None:
+        persisted.unpersist()
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    return out
 
 
 def near_dup_keep(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -599,23 +626,31 @@ def embedding_near_dups(
         dim = len(df.select(vec_col).first()[0])
         rng = np.random.default_rng(42)
         planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
-        planes_lit = F.array(*[
-            F.array(*[F.lit(float(v)) for v in row]) for row in planes
-        ])
-        sketch = F.transform(
-            planes_lit,
-            lambda p: (F.zip_with(F.col(vec_col), p, lambda a, b: a * b)
-                       .cast("array<double>")),
+        # ship the plane matrix via a broadcast variable into an Arrow-batched
+        # kernel: one (batch × dim) @ (dim × planes) matmul per batch. (Round 2
+        # inlined the matrix as nested F.lit arrays — an O(n_planes × dim)
+        # LITERAL in the plan; 64 planes × 1024 dims is a ~65k-literal plan
+        # that bloats analysis and breaks plan caching.)
+        planes_bc = df.sparkSession.sparkContext.broadcast(planes)
+
+        def sketch_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            P = planes_bc.value
+            for pdf in batches:
+                if len(pdf):
+                    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                    signs = (X @ P.T) > 0
+                    pdf = pdf.assign(
+                        bucket=[
+                            "".join("1" if b else "0" for b in row) for row in signs
+                        ]
+                    )
+                else:
+                    pdf = pdf.assign(bucket=pd.Series(dtype="object"))
+                yield pdf
+        vecs = vecs.mapInPandas(
+            sketch_gen,
+            f"{id_col} long, {vec_col} array<double>, nrm double, bucket string",
         )
-        # sign bits string as bucket key
-        bucket = F.array_join(
-            F.transform(
-                sketch,
-                lambda prods: (F.aggregate(prods, F.lit(0.0), lambda a, x: a + x) > 0).cast("int").cast("string"),
-            ),
-            "",
-        )
-        vecs = vecs.withColumn("bucket", bucket)
         a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                         F.col("nrm").alias("na"), "bucket")
         b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),

@@ -118,26 +118,37 @@ class PlanExecutor:
                 hits = hits.select(*self._fl(plan))
             facet_domain = domain if need_facets else None
 
-        docs = [r.asDict(recursive=True) for r in hits.collect()]
-        if facet_domain is not None:
-            num_found = facet_domain.count()
-        elif scored and not plan.get_params("fq"):
-            # exact hit count without materializing doc_ids: single-term =
-            # sidecar df lookup (no job); multi-term = per-slice unique counts
-            num_found = self.reader.matching_count(q)
-        elif scored:
-            num_found = self._scored_domain(domain, q).count()
-        else:
-            num_found = domain.count()
-        response: dict = {
-            "responseHeader": {"params": {k: v for k, v in plan.params.items()}},
-            "response": {"numFound": num_found, "start": start, "docs": docs},
-        }
-        if need_facets:
-            self._add_facets(plan, facet_domain, response)
-        for handler in plan.response_handlers:
-            handler.process(plan, response)
-        return response
+        # ONE domain computation per request: numFound + every facet family
+        # all act on facet_domain, and for scored requests each action would
+        # otherwise re-run the full query-term postings decode (the
+        # reference's SearchOp.java:133-148 holds one searcher snapshot per
+        # request). Persist for the life of the request, release at the end.
+        persisted = facet_domain.persist() if facet_domain is not None else None
+        facet_domain = persisted if persisted is not None else facet_domain
+        try:
+            docs = [r.asDict(recursive=True) for r in hits.collect()]
+            if facet_domain is not None:
+                num_found = facet_domain.count()
+            elif scored and not plan.get_params("fq"):
+                # exact hit count without materializing doc_ids: single-term =
+                # sidecar df lookup (no job); multi-term = per-slice unique counts
+                num_found = self.reader.matching_count(q)
+            elif scored:
+                num_found = self._scored_domain(domain, q).count()
+            else:
+                num_found = domain.count()
+            response: dict = {
+                "responseHeader": {"params": {k: v for k, v in plan.params.items()}},
+                "response": {"numFound": num_found, "start": start, "docs": docs},
+            }
+            if need_facets:
+                self._add_facets(plan, facet_domain, response)
+            for handler in plan.response_handlers:
+                handler.process(plan, response)
+            return response
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     # -- internals -----------------------------------------------------------
     def _fl(self, plan: QueryPlan) -> list[str] | None:

@@ -55,19 +55,34 @@ def train_centroids(
     df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     sample: int = 10_000, iters: int = 10, seed: int = 42,
 ) -> np.ndarray:
-    """k-means on a seeded sample (driver-side numpy — centroids are tiny)."""
+    """k-means on a seeded sample (driver-side numpy — centroids are tiny).
+
+    Assignment uses the ‖x‖²+‖c‖²−2x·c expansion in row chunks, so memory is
+    O(chunk × n_centroids) — never the (sample × centroids × dim) broadcast
+    tensor (at 4k centroids × 768 dims that tensor is ~60 GB)."""
     rows = df.select(vec_col).limit(sample).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _assign_chunked(X, cents)
         for c in range(len(cents)):
             members = X[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents
+
+
+def _assign_chunked(X: np.ndarray, cents: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """argmin_c ‖x−c‖² per row, bounded memory (chunk × centroids workspace)."""
+    c_sq = (cents**2).sum(axis=1)  # (C,)
+    out = np.empty(len(X), dtype=np.int64)
+    for lo in range(0, len(X), chunk):
+        xb = X[lo : lo + chunk]
+        # ‖x−c‖² = ‖x‖² + ‖c‖² − 2x·c; ‖x‖² is constant per row → skip it
+        d = c_sq[None, :] - 2.0 * (xb @ cents.T)
+        out[lo : lo + chunk] = d.argmin(axis=1)
+    return out
 
 
 def assign_centroids(
@@ -82,8 +97,7 @@ def assign_centroids(
         for pdf in batches:
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if len(X):
-                d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                pdf["centroid_id"] = d.argmin(axis=1).astype(np.int32)
+                pdf["centroid_id"] = _assign_chunked(X, cents).astype(np.int32)
             else:
                 pdf["centroid_id"] = np.array([], dtype=np.int32)
             yield pdf[cols + ["centroid_id"]]

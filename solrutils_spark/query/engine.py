@@ -221,7 +221,10 @@ class IndexReader:
         return ranked
 
     def search_batch(
-        self, queries: list[tuple[int, str, int]]
+        self,
+        queries: list[tuple[int, str, int]],
+        *,
+        filter_df: DataFrame | None = None,
     ) -> DataFrame:
         """Score MANY queries in ONE Spark job → (query_id, doc_id, score, rank).
 
@@ -230,6 +233,14 @@ class IndexReader:
         each salt-slice scores every query locally (shared decode within the
         slice), and a per-query window takes global top-k. Per-query results
         are rank-identical to :meth:`search` (same kernel, same stats).
+
+        ``filter_df``: optional single-column DataFrame of allowed doc_ids
+        applied to EVERY query in the batch (P2 semantics — restrict, never
+        score). Same salt-cogroup shape as :meth:`search`: the filter ids are
+        salted by arithmetic and cogrouped with the candidate postings, so a
+        filtered offline-eval batch is still ONE job with a once-per-term
+        intersection (round 2 paid one kernel job PER filtered query).
+        Rank-identical to per-query ``search(filter_df=...)`` (pinned).
         """
         from pyspark.sql import Window
 
@@ -246,11 +257,12 @@ class IndexReader:
             )
         avgdl = float(self.stats["avgdl"])
         live_terms = sorted({t for _, idfs, _ in plans for t in idfs})
+        BATCH_DDL = "query_id long, doc_id long, score double"
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _rows(results) -> pd.DataFrame:
             outs = [
                 pd.DataFrame({"query_id": qid, "doc_id": d, "score": s})
-                for qid, d, s in topk_slice_batch(pdf, plans, avgdl)
+                for qid, d, s in results
                 if d.size
             ]
             if not outs:
@@ -260,9 +272,26 @@ class IndexReader:
             return pd.concat(outs, ignore_index=True)
 
         cand = self._candidate_rows(live_terms)
-        sliced = cand.groupBy("salt").applyInPandas(
-            kernel, "query_id long, doc_id long, score double"
-        )
+        if filter_df is not None:
+            fids = self.salted_filter(filter_df)
+
+            def ckernel(cand_pdf: pd.DataFrame, fid_pdf: pd.DataFrame) -> pd.DataFrame:
+                if cand_pdf.empty or fid_pdf.empty:
+                    return _rows([])
+                allowed = np.sort(fid_pdf["doc_id"].to_numpy(np.int64))
+                return _rows(topk_slice_batch(cand_pdf, plans, avgdl, allowed))
+
+            sliced = (
+                cand.groupBy("salt")
+                .cogroup(fids.groupBy("salt"))
+                .applyInPandas(ckernel, BATCH_DDL)
+            )
+        else:
+
+            def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _rows(topk_slice_batch(pdf, plans, avgdl))
+
+            sliced = cand.groupBy("salt").applyInPandas(kernel, BATCH_DDL)
         k_map = {qid: k for qid, _, k in plans}
         k_df = self.spark.createDataFrame(
             [(qid, k) for qid, k in k_map.items()], "query_id long, k int"

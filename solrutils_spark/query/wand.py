@@ -248,6 +248,7 @@ def topk_slice_batch(
     term_rows: pd.DataFrame,
     plans: list[tuple[int, dict[str, float], int]],
     avgdl: float,
+    allowed_docs: np.ndarray | None = None,
 ) -> list[tuple[int, np.ndarray, np.ndarray]]:
     """Many-queries-one-slice kernel: decode every candidate row ONCE, then
     score all queries from the decoded arrays. A Zipf-hot term shared by most
@@ -259,6 +260,13 @@ def topk_slice_batch(
     is prune-exact, so results are rank- and score-identical to calling
     ``topk_slice`` per query (pinned by test_search_batch_rank_identical).
     Returns [(query_id, doc_ids, scores)] for queries with ≥1 live term.
+
+    ``allowed_docs``: optional sorted int64 array — P2 filter semantics shared
+    by the WHOLE batch (restricts candidates, never contributes to score).
+    The intersection happens ONCE per decoded term, not per query — the
+    filtered offline-eval shape. Rank-identical to per-query
+    ``topk_slice(..., allowed_docs=...)`` (pinned by
+    test_search_batch_filtered_rank_identical).
     """
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     dfp: dict[str, int] = {}
@@ -268,6 +276,12 @@ def topk_slice_batch(
         d, tf, dl = decode_run(
             payload, int(row.df_part), block_offset, 0, len(block_offset), 0
         )
+        if allowed_docs is not None:
+            pos = np.searchsorted(allowed_docs, d)
+            ok = (pos < allowed_docs.size) & (
+                allowed_docs[np.minimum(pos, max(allowed_docs.size - 1, 0))] == d
+            ) if allowed_docs.size else np.zeros(d.size, dtype=bool)
+            d, tf, dl = d[ok], tf[ok], dl[ok]
         tfv = tf.astype(np.float64)
         tfn = tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
         decoded[row.term] = (d, tfn)
@@ -284,6 +298,8 @@ def topk_slice_batch(
         acc_scores = np.empty(0, dtype=np.float64)
         for t in terms:
             d, tfn = decoded[t]
+            if d.size == 0:
+                continue
             nc = idf_by_term[t] * tfn
             all_docs = np.concatenate([acc_docs, d])
             all_scores = np.concatenate([acc_scores, nc])
@@ -296,6 +312,8 @@ def topk_slice_batch(
             starts = np.flatnonzero(boundaries)
             acc_docs = sd[starts]
             acc_scores = np.add.reduceat(ss, starts)
+        if acc_docs.size == 0:
+            continue
         take = min(k, acc_docs.size)
         sel = np.lexsort((acc_docs, -acc_scores))[:take]
         out.append((qid, acc_docs[sel], acc_scores[sel]))

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from solrutils_spark.index.segments import build_segments, committed_segments
 
+# per-session distinct-query sketch size: exact n_distinct_q below this,
+# lower bound above (bounds state-store growth for chatty users)
+_DISTINCT_CAP = 4096
+
 
 def incremental_index_writer(out_dir: str, segment_size: int = 4096):
     """foreachBatch callback: appends each micro-batch as new segments.
@@ -46,7 +50,16 @@ def incremental_index_writer(out_dir: str, segment_size: int = 4096):
     the lineage skip then legitimately short-circuits — hence the check
     compares against segments committed BEFORE this batch id (tracked in the
     per-batch marker file).
+
+    Crash-recovery ordering (round 3): the marker records the batch's
+    PLANNED segment ids and is written atomically BEFORE ``build_segments``.
+    A crash mid-build leaves some of the batch's segments committed; on
+    re-delivery those appear in ``committed_segments()`` but are covered by
+    the marker ("own" set), so the overlap is recognized as legal and the
+    resume completes the remaining segments. (Round 2 wrote the marker after
+    the build, so that exact failure path raised ValueError forever.)
     """
+    import os
     from pathlib import Path
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -54,36 +67,31 @@ def incremental_index_writer(out_dir: str, segment_size: int = 4096):
             return
         marker = Path(out_dir) / "lineage" / f"batch={batch_id}.segments"
         done = committed_segments(out_dir)
-        if done:
-            seg_ids = {
-                int(r["s"])
-                for r in batch_df.select(
-                    (F.col("doc_id") / segment_size).cast("int").alias("s")
-                )
-                .distinct()
-                .collect()
-            }
-            own = (
-                {int(x) for x in marker.read_text().split()}
-                if marker.exists()
-                else set()
-            )  # re-delivered batch: its own segments are a legal overlap
-            clash = (seg_ids & done) - own
-            if clash:
-                raise ValueError(
-                    f"micro-batch {batch_id} would extend already-committed "
-                    f"segments {sorted(clash)[:5]} (docs would be silently "
-                    f"dropped by lineage resume): align micro-batch doc_id "
-                    f"ranges to segment_size={segment_size}"
-                )
-        build_segments(batch_df, out_dir, segment_size=segment_size, resume=True)
-        new_done = committed_segments(out_dir) - done
+        seg_ids = {
+            int(r["s"])
+            for r in batch_df.select(
+                (F.col("doc_id") / segment_size).cast("int").alias("s")
+            )
+            .distinct()
+            .collect()
+        }
+        own = (
+            {int(x) for x in marker.read_text().split()} if marker.exists() else set()
+        )  # re-delivered batch: its own segments are a legal overlap
+        clash = (seg_ids & done) - own
+        if clash:
+            raise ValueError(
+                f"micro-batch {batch_id} would extend already-committed "
+                f"segments {sorted(clash)[:5]} (docs would be silently "
+                f"dropped by lineage resume): align micro-batch doc_id "
+                f"ranges to segment_size={segment_size}"
+            )
+        # atomically record the PLAN before building (see docstring)
         marker.parent.mkdir(parents=True, exist_ok=True)
-        if new_done or not marker.exists():
-            prev = set()
-            if marker.exists():
-                prev = {int(x) for x in marker.read_text().split()}
-            marker.write_text(" ".join(str(s) for s in sorted(prev | new_done)))
+        tmp = marker.with_suffix(marker.suffix + f".tmp{os.getpid()}")
+        tmp.write_text(" ".join(str(s) for s in sorted(own | seg_ids)))
+        os.replace(tmp, marker)
+        build_segments(batch_df, out_dir, segment_size=segment_size, resume=True)
 
     return write_batch
 
@@ -106,6 +114,12 @@ def sessionize_queries(
     (session bounds + counts + distinct-query sketch) lives in the state
     store keyed by user; the pandas function sees each micro-batch's rows for
     the key plus its state, and emits only completed sessions downstream.
+
+    Bounded state: the per-key distinct-query set is capped at
+    ``_DISTINCT_CAP`` entries (deduped, insertion-ordered) — ``n_distinct_q``
+    is exact below the cap and a lower bound above it. Without the cap a
+    chatty user's open session would grow the state store without bound
+    (the round-2 version kept every raw query string).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -129,7 +143,7 @@ def sessionize_queries(
                     "session_start": [pd.Timestamp(start, unit="ms")],
                     "session_end": [pd.Timestamp(end, unit="ms")],
                     "n_queries": [n],
-                    "n_distinct_q": [len(set(qs))],
+                    "n_distinct_q": [len(qs)],
                 }
             )
             return
@@ -140,19 +154,22 @@ def sessionize_queries(
         qvals = rows["q"].to_numpy()[order]
         if state.exists:
             start, end, n, qs = state.get
-            qs = list(qs)
+            qs = list(qs)  # distinct queries, insertion-ordered, capped
         else:
             start, end, n, qs = int(ts_ms[0]), int(ts_ms[0]), 0, []
+        seen = set(qs)
         closed = []
         for t, q in zip(ts_ms, qvals):
             t = int(t)
             if n and t - end > gap_ms:  # gap exceeded → close current session
-                closed.append((start, end, n, len(set(qs))))
-                start, n, qs = t, 0, []
+                closed.append((start, end, n, len(qs)))
+                start, n, qs, seen = t, 0, [], set()
             end = max(end, t) if n else t
             start = min(start, t)
             n += 1
-            qs.append(q)
+            if q not in seen and len(qs) < _DISTINCT_CAP:
+                seen.add(q)
+                qs.append(q)
         state.update((start, end, n, qs))
         # event-time timeout: fire `gap` after the session's last event
         state.setTimeoutTimestamp(end + gap_ms)

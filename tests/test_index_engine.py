@@ -271,3 +271,61 @@ def test_spellcheck_suggestions(spark, reader, index_dir):
     assert not section["correctlySpelled"]
     assert section["collation"] == "posting segment"
     assert section["suggestions"]["postin"][0]["word"] == "posting"
+
+
+def test_search_batch_filtered_rank_identical(spark, reader):
+    """filter_df batch path (ONE cogroup job) == per-query search(filter_df=)."""
+    allowed = [d for d in range(N_DOCS) if d % 3 == 0]
+    fdf = spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+    qs = [(qid, qtext, k) for qid, qtext, k in reference_queries() if qid % 4 == 0]
+    out = reader.search_batch(qs, filter_df=fdf)
+    by_qid: dict = {}
+    for r in out.collect():
+        by_qid.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext, k in qs:
+        expected = [(r["doc_id"], r["score"])
+                    for r in reader.search(qtext, k, filter_df=fdf).collect()]
+        got = sorted(by_qid.get(qid, []))
+        assert [d for _, d, _ in got] == [d for d, _ in expected], f"q{qid} {qtext!r}"
+        for (_, gd, gs), (_, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-12), f"q{qid} doc {gd}"
+        # filter semantics: every hit is in the allowed set
+        assert all(d % 3 == 0 for _, d, _ in got), f"q{qid}"
+
+
+def test_doc_ids_dense_and_parallelism_invariant(spark):
+    """doc_id is a pure function of the data with the DEFAULT bucket count
+    (a constant, never cluster parallelism): identical ids at any input
+    partitioning, and dense in [0, n)."""
+    from pyspark.sql import functions as F
+
+    from solrutils_spark.index.docs import build_docs
+
+    corpus = synth_corpus(spark, 120, hot_repeat=100)
+    a = build_docs(corpus.coalesce(1)).select("repo", "path", "commit", "doc_id")
+    b = build_docs(corpus.repartition(7)).select(
+        "repo", "path", "commit", F.col("doc_id").alias("doc_id_b")
+    )
+    n = a.count()
+    ids = sorted(r["doc_id"] for r in a.collect())
+    assert ids == list(range(n))  # dense
+    mism = (
+        a.join(b, ["repo", "path", "commit"])
+        .filter("doc_id <> doc_id_b")
+        .count()
+    )
+    assert mism == 0  # deterministic across parallelism
+
+
+def test_resume_tolerates_torn_lineage(spark, tmp_path):
+    """A torn (half-written) lineage JSON must not crash the resume build:
+    the segment is treated as uncommitted, rebuilt, and stats stay exact."""
+    out = str(tmp_path / "torn")
+    corpus = synth_corpus(spark, 200, hot_repeat=500)
+    build_index(corpus, out, segment_size=16, num_salts=2, num_buckets=8)
+    f = sorted((Path(out) / "lineage").glob("seg=*.json"))[3]
+    f.write_text(f.read_text()[:10])  # torn write
+    stats = build_index(corpus, out, segment_size=16, num_salts=2, num_buckets=8)
+    assert stats["n_docs"] == 200
+    lineage = read_lineage(spark, out)
+    assert lineage.count() == 13

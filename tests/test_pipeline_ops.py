@@ -395,3 +395,26 @@ def test_multimodal_real_decode(spark):
     dec = mm.filter("meta.mime IN ('image/bmp', 'audio/wav')")
     feats = extract_features(dec, feature_fn=real_feature).collect()
     assert feats and all(len(r["feature"]) == 64 for r in feats)
+
+
+def test_shingles_col_matches_python_on_boundary_whitespace(spark):
+    """_shingles_col must equal str.split()-based _shingles exactly — incl.
+    boundary \\t/\\n/\\r (a trailing newline must NOT inject a phantom empty
+    token that perturbs every shingle; ADVICE r2)."""
+    from solrutils_spark.operators.dedup import _shingles, _shingles_col
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta\n",
+        "\talpha beta",
+        "a b\r\n",
+        "",
+        "   ",
+        "one two\nthree four five six \n",
+        "x\ty\nz w v u t",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r["s"]) for r in
+           df.select(_shingles_col(F.col("text"), 5).alias("s")).collect()]
+    for t, g in zip(texts, got):
+        assert g == _shingles(t or "", 5), repr(t)

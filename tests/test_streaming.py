@@ -126,3 +126,38 @@ def test_sessionize_queries_stateful(spark, tmp_path):
     assert got[("a", "10:00")] == (2, 2)
     assert got[("a", "12:30")] == (1, 1)
     assert got[("b", "10:00")] == (1, 1)
+
+
+def test_incremental_redelivery_after_partial_crash(spark, tmp_path):
+    """Crash BETWEEN a segment's lineage commit and batch completion: the
+    marker (written atomically BEFORE the build) covers the partially-built
+    batch's own segments, so re-delivery resumes instead of raising."""
+    from solrutils_spark.index.segments import build_segments
+
+    corpus = synth_corpus(spark, 200, hot_repeat=500)
+    docs = build_docs(corpus).cache()
+    out = str(tmp_path / "crash")
+    writer = incremental_index_writer(out, segment_size=32)
+    writer(docs.filter("doc_id < 96"), batch_id=0)  # segs 0-2
+
+    # simulate a mid-batch crash for batch 1 (segs 3-6): the marker is down,
+    # segment 3 committed, then the process died before segments 4-6
+    marker = Path(out) / "lineage" / "batch=1.segments"
+    marker.write_text("3 4 5 6")
+    build_segments(
+        docs.filter("(doc_id >= 96) and (doc_id < 128)"), out,
+        segment_size=32, resume=True,
+    )
+
+    # re-delivery of the full batch must complete the remaining segments
+    writer(docs.filter("doc_id >= 96"), batch_id=1)
+
+    one_dir = str(tmp_path / "one")
+    build_index(corpus, one_dir, segment_size=32, num_salts=2, num_buckets=8)
+    inc_idx = merge_segments(read_segments(spark, out), num_salts=2, num_buckets=8)
+    a = sorted((r["term"], r["salt"], bytes(r["payload"])) for r in inc_idx.collect())
+    b = sorted(
+        (r["term"], r["salt"], bytes(r["payload"]))
+        for r in spark.read.parquet(one_dir + "/index").collect()
+    )
+    assert a == b
