@@ -60,7 +60,10 @@ def main() -> None:
     # 1. index build throughput
     out_dir = tempfile.mkdtemp(prefix="bench_idx_")
     corpus = synth_corpus(spark, n_docs, hot_repeat=100_000)
-    seg_size = max(128, n_docs // (cpus * 4))  # ≥4 segment tasks per core
+    # Floor 1024: below ~1k docs/segment the Python kernel's fixed cost
+    # dominates (measured at sf0.1/local[32]: 156-doc segments → 885 docs/s,
+    # 1024 → 1,452 docs/s). Large corpora keep ≥4 segment tasks per core.
+    seg_size = max(1024, n_docs // (cpus * 4))
     stats = timed("index_build", lambda: build_index(
         corpus, out_dir, segment_size=seg_size, num_salts=8, num_buckets=64))
     extra["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
@@ -101,6 +104,14 @@ def main() -> None:
     for _qid, qtext, k in qset[::4]:
         reader.search(qtext, k, filter_df=fdf).count()
     timings["bm25_filtered"] = round(time.perf_counter() - t0, 3)
+
+    # batched filtered search: the WHOLE query set under the same fq in ONE
+    # cogroup job (round 2 paid one kernel job per filtered query)
+    t0 = time.perf_counter()
+    reader.search_batch(qset, filter_df=fdf).count()
+    timings["bm25_filtered_batch"] = round(time.perf_counter() - t0, 3)
+    extra["bm25_filtered_batch_qps"] = round(
+        len(qset) / timings["bm25_filtered_batch"], 2)
 
     # 3. headline relational / pipeline operators on the sf tables
     qs = entry.queries()

@@ -57,7 +57,7 @@ def _range_max(values: np.ndarray, left: np.ndarray, right: np.ndarray) -> np.nd
 
 
 def topk_rows(
-    term_rows: pd.DataFrame,
+    term_rows,
     idf_by_term: dict[str, float],
     avgdl: float,
     k: int,
@@ -69,27 +69,30 @@ def topk_rows(
     accumulator: acc_max_in_block + block_ub + Σ ub(unprocessed terms) < θ.
     Sharing θ across salts prunes strictly more than per-slice kernels, and
     there is no per-slice python/pandas overhead. Rank-identical (prune-only).
+
+    ``term_rows``: a pandas DataFrame OR a plain list of row records exposing
+    the posting columns as attributes (the serving path passes records built
+    straight from the pyarrow table — round-2 profiling showed the pandas
+    conversion + ``.iloc``/``itertuples`` traversal was ~45% of serving
+    latency, more than the decode kernel itself).
     """
-    order = np.lexsort(
-        (
-            term_rows["salt"].to_numpy(),
-            term_rows["term"].to_numpy(),
-        )
-    )
-    rows = term_rows.iloc[order]
+    if isinstance(term_rows, pd.DataFrame):
+        rows = list(term_rows.itertuples(index=False))
+    else:
+        rows = list(term_rows)
+    rows.sort(key=lambda r: (r.term, r.salt))
     # per-term max upper bound across its rows (sound: a doc sees one row/term)
     term_ub: dict[str, float] = {}
-    row_ub = []
-    for row in rows.itertuples(index=False):
+    df_by_term: dict[str, int] = {}
+    rows_by_term: dict[str, list] = {}
+    for row in rows:
         idf = idf_by_term[row.term]
         bb = _tf_norm_bound(np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl)
         ub = float(idf * bb.max()) if len(bb) else 0.0
-        row_ub.append(ub)
         term_ub[row.term] = max(term_ub.get(row.term, 0.0), ub)
-    # processing order: terms by df asc (global df = sum df_part), salts asc
-    df_by_term: dict[str, int] = {}
-    for row in rows.itertuples(index=False):
+        # processing order: terms by df asc (global df = sum df_part)
         df_by_term[row.term] = df_by_term.get(row.term, 0) + int(row.df_part)
+        rows_by_term.setdefault(row.term, []).append(row)
     terms_sorted = sorted(term_ub, key=lambda t: (df_by_term[t], t))
     remaining_after = {}
     acc_ub = 0.0
@@ -100,9 +103,6 @@ def topk_rows(
     acc_docs = np.empty(0, dtype=np.int64)
     acc_scores = np.empty(0, dtype=np.float64)
     theta = -np.inf
-    rows_by_term: dict[str, list] = {}
-    for row in rows.itertuples(index=False):
-        rows_by_term.setdefault(row.term, []).append(row)
 
     if len(terms_sorted) == 1:
         # single-term fast path: a doc's final score is exactly idf·tf_norm,

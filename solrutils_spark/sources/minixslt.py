@@ -10,17 +10,24 @@ supported instructions
     xsl:stylesheet / xsl:transform     (template container)
     xsl:template match="name|a/b|/"    (also match="*"; first doc-order win,
                                         longer paths tried first)
+    xsl:template name=... + xsl:call-template [xsl:with-param]
+    xsl:param (in named templates; select= or literal-content default)
     xsl:apply-templates [select=path]
-    xsl:for-each select=path
-    xsl:value-of select=path
-    xsl:if test="path" | test="path='literal'" | test="not(path)"
+    xsl:for-each select=path           (sets position()/last())
+    xsl:value-of select=path|position()|last()|$param
+    xsl:copy-of select=path            (deep copy of selected nodes/values)
+    xsl:if test="path" | "path='lit'" | "not(...)" | "position()=N"
     xsl:choose / xsl:when / xsl:otherwise
     xsl:attribute name=...
     xsl:text
     literal result elements with {path} attribute-value templates
 
 supported select/match paths (relative to the context node)
-    .   name   a/b/c   @attr   a/@attr   text()   *   /absolute/path
+    .   name   a/b/c   @attr   a/@attr   text()   *   /absolute/path   $param
+    any step may carry predicates: a[2]  a[last()]  a[@id='x']  a[b='v']
+    a[@attr]  a[position()=2]  (chained ``[p][q]`` filters left to right;
+    position() inside a predicate is the node's 1-based index in ITS step's
+    candidate list per parent — XPath proximity position)
 
 Anything else raises ``UnsupportedXsltError`` at compile or apply time —
 never a silent wrong answer. Built-in rules: an element with no matching
@@ -32,6 +39,7 @@ For full XSLT install lxml — ``make_xslt_transform`` prefers it when present.
 
 from __future__ import annotations
 
+import copy as _copy
 import re
 import xml.etree.ElementTree as ET
 
@@ -39,6 +47,9 @@ XSL_NS = "http://www.w3.org/1999/XSL/Transform"
 _X = "{%s}" % XSL_NS
 _AVT_RE = re.compile(r"\{([^}]+)\}")
 _EQ_TEST_RE = re.compile(r"^(.*?)\s*=\s*'([^']*)'$")
+_POS_TEST_RE = re.compile(r"^(position\(\)|last\(\))\s*=\s*(\d+)$")
+_STEP_RE = re.compile(r"^([^\[\]]+)((?:\[[^\]]*\])*)$")
+_PRED_RE = re.compile(r"\[([^\]]*)\]")
 
 
 class UnsupportedXsltError(NotImplementedError):
@@ -49,43 +60,28 @@ def _strip_ns(tag: str) -> str:
     return tag.split("}", 1)[1] if tag.startswith("{") else tag
 
 
-def _select(ctx: ET.Element, path: str, root: ET.Element) -> list:
-    """Evaluate a (very small) path → list of Elements / strings."""
-    path = path.strip()
-    if path == ".":
-        return [ctx]
-    # absolute paths start at the synthetic document node (whose only child
-    # is the source root element), exactly like XSLT's "/"
-    nodes: list = [root] if path.startswith("/") else [ctx]
-    steps = [s for s in path.split("/") if s]
-    for step in steps:
-        out: list = []
-        for n in nodes:
-            if not isinstance(n, ET.Element):
-                raise UnsupportedXsltError(f"cannot step {step!r} from a value")
-            if step == "@*":
-                out.extend(n.attrib.values())
-            elif step.startswith("@"):
-                v = n.attrib.get(step[1:])
-                if v is not None:
-                    out.append(v)
-            elif step == "text()":
-                if n.text:
-                    out.append(n.text)
-            elif step == "*":
-                out.extend(list(n))
-            elif step == "..":
-                raise UnsupportedXsltError("parent axis not supported")
-            else:
-                out.extend(c for c in n if _strip_ns(c.tag) == step)
-        nodes = out
-    return nodes
-
-
 def _string_value(node) -> str:
     if isinstance(node, ET.Element):
         return "".join(node.itertext())
     return str(node)
+
+
+class _Ctx:
+    """Evaluation context: node + XPath position()/last() + param bindings."""
+
+    __slots__ = ("node", "pos", "last", "env")
+
+    def __init__(self, node, pos: int = 1, last: int = 1, env: dict | None = None):
+        self.node = node
+        self.pos = pos
+        self.last = last
+        self.env = env or {}
+
+    def at(self, node, pos: int, last: int) -> "_Ctx":
+        return _Ctx(node, pos, last, self.env)
+
+    def with_env(self, env: dict) -> "_Ctx":
+        return _Ctx(self.node, self.pos, self.last, env)
 
 
 class MiniXSLT:
@@ -96,13 +92,18 @@ class MiniXSLT:
         if sheet.tag not in (f"{_X}stylesheet", f"{_X}transform"):
             raise UnsupportedXsltError(f"not a stylesheet root: {sheet.tag}")
         self.templates: list[tuple[str, ET.Element]] = []
+        self.named: dict[str, ET.Element] = {}
         for child in sheet:
             tag = child.tag
             if tag == f"{_X}template":
                 match = child.get("match")
-                if match is None:
-                    raise UnsupportedXsltError("named templates not supported")
-                self.templates.append((match, child))
+                name = child.get("name")
+                if name is not None:
+                    self.named[name] = child
+                if match is not None:
+                    self.templates.append((match, child))
+                if match is None and name is None:
+                    raise UnsupportedXsltError("template needs match= or name=")
             elif tag == f"{_X}output":
                 continue  # serialization hints — we always emit unicode XML
             elif tag is ET.Comment:
@@ -111,6 +112,80 @@ class MiniXSLT:
                 raise UnsupportedXsltError(f"top-level {tag} not supported")
         # longer (more specific) match patterns first, stable otherwise
         self.templates.sort(key=lambda t: -len(t[0].split("/")))
+
+    # -- path evaluation -------------------------------------------------------
+    def _select(self, ctx: _Ctx, path: str, root: ET.Element) -> list:
+        """Evaluate a (very small) path → list of Elements / strings / ints."""
+        path = path.strip()
+        if path == ".":
+            return [ctx.node]
+        if path == "position()":
+            return [ctx.pos]
+        if path == "last()":
+            return [ctx.last]
+        if path.startswith("$"):
+            name = path[1:]
+            if "/" in name or "[" in name:
+                raise UnsupportedXsltError(f"steps off a param not supported: {path}")
+            if name not in ctx.env:
+                raise UnsupportedXsltError(f"undefined parameter ${name}")
+            val = ctx.env[name]
+            return list(val) if isinstance(val, list) else [val]
+        # absolute paths start at the synthetic document node (whose only
+        # child is the source root element), exactly like XSLT's "/"
+        nodes: list = [root] if path.startswith("/") else [ctx.node]
+        steps = [s for s in path.split("/") if s]
+        for step in steps:
+            m = _STEP_RE.match(step)
+            if not m:
+                raise UnsupportedXsltError(f"cannot parse step {step!r}")
+            base, preds_src = m.group(1), m.group(2)
+            preds = _PRED_RE.findall(preds_src) if preds_src else []
+            out: list = []
+            for n in nodes:
+                if not isinstance(n, ET.Element):
+                    raise UnsupportedXsltError(f"cannot step {step!r} from a value")
+                matched = self._step_base(n, base)
+                # predicates filter per-parent with proximity position()
+                for pred in preds:
+                    last = len(matched)
+                    matched = [
+                        v for i, v in enumerate(matched, 1)
+                        if self._pred(ctx, v, pred, i, last, root)
+                    ]
+                out.extend(matched)
+            nodes = out
+        return nodes
+
+    @staticmethod
+    def _step_base(n: ET.Element, base: str) -> list:
+        if base == "@*":
+            return list(n.attrib.values())
+        if base.startswith("@"):
+            v = n.attrib.get(base[1:])
+            return [v] if v is not None else []
+        if base == "text()":
+            return [n.text] if n.text else []
+        if base == "*":
+            return list(n)
+        if base == "..":
+            raise UnsupportedXsltError("parent axis not supported")
+        return [c for c in n if _strip_ns(c.tag) == base]
+
+    def _pred(self, ctx: _Ctx, value, pred: str, pos: int, last: int,
+              root: ET.Element) -> bool:
+        pred = pred.strip()
+        if pred.isdigit():  # [2] ≡ [position()=2]
+            return pos == int(pred)
+        if pred == "last()":  # number-valued predicate ≡ position()=number
+            return pos == last
+        if pred == "position()":
+            raise UnsupportedXsltError("bare position() predicate is always true")
+        if not isinstance(value, ET.Element):
+            raise UnsupportedXsltError(
+                f"predicate {pred!r} on a non-element value"
+            )
+        return self._test(ctx.at(value, pos, last), pred, root)
 
     # -- matching ------------------------------------------------------------
     def _find_template(self, elem: ET.Element, root: ET.Element) -> ET.Element | None:
@@ -123,6 +198,10 @@ class MiniXSLT:
             steps = [s for s in match.split("/") if s]
             if not steps:
                 continue
+            if any("[" in s for s in steps):
+                raise UnsupportedXsltError(
+                    f"predicates in match patterns not supported: {match!r}"
+                )
             if steps[-1] in ("*", name):
                 # suffix match on the recorded ancestor names
                 anc = self._ancestors.get(id(elem), [])
@@ -153,39 +232,44 @@ class MiniXSLT:
         self._root_phase = False
         if tmpl is None:
             # built-in rule for the document node: apply to the root ELEMENT
-            self._apply_one(src, doc, out_root)
+            self._apply_one(_Ctx(src), doc, out_root)
         else:
-            self._run_body(tmpl, doc, doc, out_root)
+            self._run_body(tmpl, _Ctx(doc), doc, out_root)
         kids = list(out_root)
         if len(kids) == 1 and not (out_root.text or "").strip():
             return ET.tostring(kids[0], encoding="unicode")
         return ET.tostring(out_root, encoding="unicode")
 
-    def _apply_to_children(self, ctx: ET.Element, root: ET.Element, out: ET.Element):
-        for child in ctx:
-            self._apply_one(child, root, out)
+    def _apply_to_children(self, ctx: _Ctx, root: ET.Element, out: ET.Element):
+        kids = list(ctx.node)
+        for i, child in enumerate(kids, 1):
+            self._apply_one(ctx.at(child, i, len(kids)), root, out)
 
-    def _apply_one(self, elem: ET.Element, root: ET.Element, out: ET.Element):
-        tmpl = self._find_template(elem, root)
+    def _apply_one(self, ctx: _Ctx, root: ET.Element, out: ET.Element):
+        tmpl = self._find_template(ctx.node, root)
         if tmpl is not None:
-            self._run_body(tmpl, elem, root, out)
+            self._run_body(tmpl, ctx, root, out)
         else:  # built-in rule: descend
-            self._apply_to_children(elem, root, out)
+            self._apply_to_children(ctx, root, out)
 
-    def _test(self, ctx: ET.Element, test: str, root: ET.Element) -> bool:
+    def _test(self, ctx: _Ctx, test: str, root: ET.Element) -> bool:
         test = test.strip()
         if test.startswith("not(") and test.endswith(")"):
             return not self._test(ctx, test[4:-1], root)
+        pm = _POS_TEST_RE.match(test)
+        if pm:
+            val = ctx.pos if pm.group(1) == "position()" else ctx.last
+            return val == int(pm.group(2))
         m = _EQ_TEST_RE.match(test)
         if m:
-            nodes = _select(ctx, m.group(1), root)
+            nodes = self._select(ctx, m.group(1), root)
             return any(_string_value(n) == m.group(2) for n in nodes)
-        return bool(_select(ctx, test, root))
+        return bool(self._select(ctx, test, root))
 
-    def _avt(self, value: str, ctx: ET.Element, root: ET.Element) -> str:
+    def _avt(self, value: str, ctx: _Ctx, root: ET.Element) -> str:
         return _AVT_RE.sub(
             lambda m: "".join(
-                _string_value(n) for n in _select(ctx, m.group(1), root)[:1]
+                _string_value(n) for n in self._select(ctx, m.group(1), root)[:1]
             ),
             value,
         )
@@ -198,31 +282,80 @@ class MiniXSLT:
         else:
             out.text = (out.text or "") + text
 
-    def _run_body(self, body: ET.Element, ctx: ET.Element, root: ET.Element,
+    def _eval_param_value(self, node: ET.Element, ctx: _Ctx, root: ET.Element):
+        """xsl:with-param / xsl:param default: select= or literal content."""
+        sel = node.get("select")
+        if sel is not None:
+            return self._select(ctx, sel, root)
+        buf = ET.Element("__param__")
+        self._run_body(node, ctx, root, buf)
+        if len(buf):
+            raise UnsupportedXsltError("element-valued parameters not supported")
+        # literal text content precedes instruction output (as in xsl:attribute)
+        return [(node.text or "").strip() + (buf.text or "")]
+
+    def _call_template(self, node: ET.Element, ctx: _Ctx, root: ET.Element,
+                       out: ET.Element) -> None:
+        name = node.get("name", "")
+        tmpl = self.named.get(name)
+        if tmpl is None:
+            raise UnsupportedXsltError(f"call-template to unknown template {name!r}")
+        env: dict = {}
+        for wp in node:
+            if wp.tag is ET.Comment:
+                continue
+            if wp.tag != f"{_X}with-param":
+                raise UnsupportedXsltError(
+                    f"only xsl:with-param allowed in call-template, got {wp.tag}"
+                )
+            env[wp.get("name", "")] = self._eval_param_value(wp, ctx, root)
+        # the called template sees ONLY its params (fresh frame, XSLT scoping);
+        # its leading xsl:param defaults fill unbound names (handled in body)
+        self._run_body(tmpl, ctx.with_env(env), root, out)
+
+    def _run_body(self, body: ET.Element, ctx: _Ctx, root: ET.Element,
                   out: ET.Element) -> None:
         for node in body:
             tag = node.tag
             if tag is ET.Comment:
                 continue
-            if tag == f"{_X}value-of":
-                nodes = _select(ctx, node.get("select", "."), root)
+            if tag == f"{_X}param":
+                # declared parameter: bind default if the caller didn't
+                pname = node.get("name", "")
+                if pname not in ctx.env:
+                    ctx = ctx.with_env(
+                        {**ctx.env, pname: self._eval_param_value(node, ctx, root)}
+                    )
+            elif tag == f"{_X}value-of":
+                nodes = self._select(ctx, node.get("select", "."), root)
                 self._append_text(out, _string_value(nodes[0]) if nodes else "")
+            elif tag == f"{_X}copy-of":
+                for n in self._select(ctx, node.get("select", "."), root):
+                    if isinstance(n, ET.Element):
+                        out.append(_copy.deepcopy(n))
+                    else:
+                        self._append_text(out, _string_value(n))
             elif tag == f"{_X}text":
                 self._append_text(out, node.text or "")
             elif tag == f"{_X}for-each":
-                for sub in _select(ctx, node.get("select", "."), root):
+                subs = self._select(ctx, node.get("select", "."), root)
+                for i, sub in enumerate(subs, 1):
                     if not isinstance(sub, ET.Element):
                         raise UnsupportedXsltError("for-each over non-elements")
-                    self._run_body(node, sub, root, out)
+                    self._run_body(node, ctx.at(sub, i, len(subs)), root, out)
             elif tag == f"{_X}apply-templates":
                 sel = node.get("select")
                 targets = (
-                    _select(ctx, sel, root) if sel is not None else list(ctx)
+                    self._select(ctx, sel, root)
+                    if sel is not None
+                    else list(ctx.node)
                 )
-                for t in targets:
+                for i, t in enumerate(targets, 1):
                     if not isinstance(t, ET.Element):
                         raise UnsupportedXsltError("apply-templates over values")
-                    self._apply_one(t, root, out)
+                    self._apply_one(ctx.at(t, i, len(targets)), root, out)
+            elif tag == f"{_X}call-template":
+                self._call_template(node, ctx, root, out)
             elif tag == f"{_X}if":
                 if self._test(ctx, node.get("test", ""), root):
                     self._run_body(node, ctx, root, out)

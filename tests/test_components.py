@@ -351,12 +351,92 @@ def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 
     bad = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:copy-of select="."/></xsl:template>
+      <xsl:template match="/"><xsl:variable name="v" select="."/></xsl:template>
     </xsl:stylesheet>"""
     import pytest
 
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(bad)("<a/>")
+    key = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:key name="k" match="a" use="@id"/>
+      <xsl:template match="/"><r/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(key)
+
+
+def test_xslt_extended_constructs():
+    """Round-3 minixslt extensions: named templates + call-template with
+    params, position()/last(), xsl:copy-of, and step predicates — the
+    constructs real Solr mapping stylesheets use next (reference contract
+    XsltUpdateHandler.java:114-136; exercised the XSLTest.java way: compile
+    stylesheet, transform document, compare serialized output)."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.minixslt import MiniXSLT
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <add>
+          <xsl:for-each select="/catalog/item[@active='yes']">
+            <doc>
+              <xsl:attribute name="n"><xsl:value-of select="position()"/></xsl:attribute>
+              <xsl:attribute name="of"><xsl:value-of select="last()"/></xsl:attribute>
+              <xsl:call-template name="emit-field">
+                <xsl:with-param name="fname">title</xsl:with-param>
+                <xsl:with-param name="fval" select="name"/>
+              </xsl:call-template>
+              <xsl:call-template name="emit-field">
+                <xsl:with-param name="fval" select="@sku"/>
+              </xsl:call-template>
+              <xsl:if test="position()=1">
+                <xsl:copy-of select="meta"/>
+              </xsl:if>
+              <first_tag><xsl:value-of select="tags/tag[1]"/></first_tag>
+              <last_tag><xsl:value-of select="tags/tag[last()]"/></last_tag>
+              <red_tag><xsl:value-of select="tags/tag[@color='red']"/></red_tag>
+            </doc>
+          </xsl:for-each>
+        </add>
+      </xsl:template>
+      <xsl:template name="emit-field">
+        <xsl:param name="fname">id</xsl:param>
+        <xsl:param name="fval"/>
+        <field name="{$fname}"><xsl:value-of select="$fval"/></field>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    xml = """<catalog>
+      <item sku="A1" active="yes">
+        <name>Widget</name>
+        <meta lang="en"><note>keep me</note></meta>
+        <tags><tag color="red">r</tag><tag>mid</tag><tag>zz</tag></tags>
+      </item>
+      <item sku="B2" active="no"><name>Gadget</name></item>
+      <item sku="C3" active="yes">
+        <name>Sprocket</name>
+        <tags><tag>only</tag></tags>
+      </item>
+    </catalog>"""
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    assert out.tag == "add" and len(out) == 2  # B2 fails the predicate
+    d1, d2 = list(out)
+    assert (d1.get("n"), d1.get("of")) == ("1", "2")
+    assert (d2.get("n"), d2.get("of")) == ("2", "2")
+    fields1 = {f.get("name"): f.text for f in d1.findall("field")}
+    assert fields1 == {"title": "Widget", "id": "A1"}  # param default kicked in
+    fields2 = {f.get("name"): f.text for f in d2.findall("field")}
+    assert fields2 == {"title": "Sprocket", "id": "C3"}
+    meta = d1.find("meta")  # copy-of: deep copy, attributes + children intact
+    assert meta is not None and meta.get("lang") == "en"
+    assert meta.find("note").text == "keep me"
+    assert d2.find("meta") is None  # position()=1 guard
+    assert d1.find("first_tag").text == "r"
+    assert d1.find("last_tag").text == "zz"
+    assert d1.find("red_tag").text == "r"
+    assert d2.find("first_tag").text == "only"
+    assert d2.find("last_tag").text == "only"
+    assert d2.find("red_tag").text is None  # no match → empty
 
 
 def test_xslt_distributed(spark):
@@ -429,3 +509,48 @@ def test_reporting_log_roundtrips_into_stats(spark, engine, tmp_path, caplog):
     assert log.count() == 2
     top = top_queries(log).collect()
     assert top[0]["q"] == "posting segment" and top[0]["count"] == 2
+
+
+def test_one_domain_decode_per_request(engine, monkeypatch):
+    """A scored+fq+facet request computes the facet/numFound domain ONCE:
+    ``matching_docs`` (the query-term postings-decode plan) is built exactly
+    once, and every facet family acts on a PERSISTED domain that numFound's
+    count() has already materialized — the reference holds one searcher
+    snapshot per request (SearchOp.java:133-148). Round 2 rebuilt the decode
+    per facet family."""
+    from solrutils_spark.operators import executor as ex_mod
+    from solrutils_spark.query.engine import IndexReader
+
+    decode_plans: list[str] = []
+    orig_matching = IndexReader.matching_docs
+
+    def spy_matching(self, q):
+        decode_plans.append(q)
+        return orig_matching(self, q)
+
+    monkeypatch.setattr(IndexReader, "matching_docs", spy_matching)
+
+    facet_domain_cached: list[bool] = []
+    orig_field_facet = ex_mod.field_facet
+    orig_query_facets = ex_mod.query_facets
+
+    def spy_field_facet(domain, spec, **kw):
+        facet_domain_cached.append(domain.storageLevel.useMemory)
+        return orig_field_facet(domain, spec, **kw)
+
+    def spy_query_facets(domain, specs):
+        facet_domain_cached.append(domain.storageLevel.useMemory)
+        return orig_query_facets(domain, specs)
+
+    monkeypatch.setattr(ex_mod, "field_facet", spy_field_facet)
+    monkeypatch.setattr(ex_mod, "query_facets", spy_query_facets)
+
+    rsp = engine.search(
+        MODEL,
+        {"query": "posting", "filter": {"lang": "py"}, "facet": ["lang", "py_docs"]},
+    )
+    assert rsp["response"]["numFound"] > 0
+    assert len(decode_plans) == 1  # one decode plan per request
+    # both facet families read the persisted domain (numFound's count()
+    # already materialized it — execute() orders count before _add_facets)
+    assert facet_domain_cached == [True, True]
