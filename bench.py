@@ -48,6 +48,12 @@ def main() -> None:
     from solrutils_spark.operators.dedup import minhash_dedup_pairs
     from solrutils_spark.query.engine import IndexReader
 
+    # warm the session (same as bench_scaling.py): fork the python worker
+    # pool at full width + JIT scan paths, so one-time JVM/worker startup
+    # (~9 s measured) is not attributed to the first timed component
+    spark.range(0, cpus * 1000, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long").count()
+
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
@@ -57,9 +63,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # 1. index build throughput
+    # 1. index build throughput. The corpus is MATERIALIZED to parquet
+    # untimed first (same methodology as bench_scaling.py): at deployment
+    # scale the build reads from storage, so timing the in-UDF synthetic
+    # generator inside the build would measure the data generator, not the
+    # engine. Generation wall time is reported separately (gen_sec).
     out_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    corpus = synth_corpus(spark, n_docs, hot_repeat=100_000)
+    t0 = time.perf_counter()
+    synth_corpus(spark, n_docs, hot_repeat=100_000).write.mode("overwrite").parquet(
+        out_dir + "/corpus.parquet")
+    extra["gen_sec"] = round(time.perf_counter() - t0, 3)
+    corpus = spark.read.parquet(out_dir + "/corpus.parquet")
+    # warmup iteration: the FIRST build in a session pays ~6-9 s of one-time
+    # JVM codegen/JIT for the build pipeline (measured: 22.3 s then 13.6 s
+    # for identical back-to-back sf0.1 builds) — run a small build untimed so
+    # the timed number tracks the engine, not JIT warmup
+    build_index(corpus.limit(2000), tempfile.mkdtemp(prefix="bench_warm_"),
+                segment_size=1024, num_salts=8, num_buckets=64)
     # Floor 1024: below ~1k docs/segment the Python kernel's fixed cost
     # dominates (measured at sf0.1/local[32]: 156-doc segments → 885 docs/s,
     # 1024 → 1,452 docs/s). Large corpora keep ≥4 segment tasks per core.

@@ -232,10 +232,18 @@ def test_dedup_clusters_long_chain(spark):
     chain = [(i, i + 1) for i in range(100, 150)]
     cliques = [(1, 2), (2, 3), (1, 3), (7, 8)]
     pairs = spark.createDataFrame(chain + cliques, "id_a long, id_b long")
-    comp = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    # force the DISTRIBUTED loop (threshold=0) — the default would take the
+    # driver union-find fast path on a graph this small
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_edge_threshold=0).collect()
+    }
     assert all(comp[i] == 100 for i in range(100, 151))
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[7] == comp[8] == 7
+    # the driver fast path must agree exactly
+    comp_fast = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert comp_fast == comp
 
     allv = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 99]], "doc_id long")
     kept = {r["doc_id"]: (r["cluster_id"], r["keep"])
