@@ -43,7 +43,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # pure-Python oracle — DuckDB can't express camelCase splitting sanely)
 # --------------------------------------------------------------------------
 
-def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_topk(
+    spark: SparkSession, sf_dir: str, filter_mod: int | None = None
+) -> DataFrame:
+    """``filter_mod``: optional fq twin — restrict the RANKED domain to
+    doc_id % filter_mod == 0 AFTER scoring. P2 semantics (SURVEY §2,
+    BulkUpdateHandler.java:59 setIsFilter): the filter never touches
+    df/avgdl/idf — excluded docs still count toward corpus statistics,
+    exactly like a Lucene filter clause. The engine-path twin
+    (search/search_batch with filter_df) is rank-identity-pinned in pytest;
+    this exact-DataFrame twin makes the semantics oracle-checkable."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -90,11 +99,21 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    if filter_mod is not None:  # fq AFTER scoring — stats untouched
+        scored = scored.filter(F.col("doc_id") % filter_mod == 0)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BM25_K)
         .select("doc_id", F.round(F.col("score"), 4).alias("score"), "rank")
+    )
+
+
+def _bm25_oracle_sql(domain_where: str = "") -> str:
+    """DuckDB BM25 oracle; ``domain_where`` restricts the RANKED domain only
+    (P2 fq semantics — stats CTEs untouched)."""
+    return _BM25_ORACLE.replace(
+        "FROM scored\n)", f"FROM scored {domain_where}\n)"
     )
 
 
@@ -359,6 +378,12 @@ def q_bm25_topk(spark, sf_dir):
     return _bm25_topk(spark, sf_dir)
 
 
+def q_bm25_filtered(spark, sf_dir):
+    """P2+E5 — scored query under an fq: domain restricted to
+    doc_id % 3 == 0, corpus stats untouched (filters never score)."""
+    return _bm25_topk(spark, sf_dir, filter_mod=3)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -573,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_elevation": q_rerank_elevation,
         "split": q_split,
         "bm25_topk": q_bm25_topk,
+        "bm25_filtered": q_bm25_filtered,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -697,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY n_chars DESC, doc_id ASC LIMIT 5)
         """,
         "bm25_topk": _BM25_ORACLE,
+        "bm25_filtered": _bm25_oracle_sql("WHERE doc_id % 3 = 0"),
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, count(*) AS dup_count, min(doc_id) AS keep_id
             FROM (SELECT doc_id, text FROM documents

@@ -20,8 +20,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -69,6 +71,11 @@ def main() -> None:
     # generator inside the build would measure the data generator, not the
     # engine. Generation wall time is reported separately (gen_sec).
     out_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    # leftover bench dirs are the biggest noise source on this box (a
+    # near-full /tmp stalls ext4 allocation and slows identical builds ~3x)
+    atexit.register(lambda: (shutil.rmtree(out_dir, ignore_errors=True),
+                             shutil.rmtree(warm_dir, ignore_errors=True)))
     t0 = time.perf_counter()
     synth_corpus(spark, n_docs, hot_repeat=100_000).write.mode("overwrite").parquet(
         out_dir + "/corpus.parquet")
@@ -78,7 +85,7 @@ def main() -> None:
     # JVM codegen/JIT for the build pipeline (measured: 22.3 s then 13.6 s
     # for identical back-to-back sf0.1 builds) — run a small build untimed so
     # the timed number tracks the engine, not JIT warmup
-    build_index(corpus.limit(2000), tempfile.mkdtemp(prefix="bench_warm_"),
+    build_index(corpus.limit(2000), warm_dir,
                 segment_size=1024, num_salts=8, num_buckets=64)
     # Floor 1024: below ~1k docs/segment the Python kernel's fixed cost
     # dominates (measured at sf0.1/local[32]: 156-doc segments → 885 docs/s,

@@ -30,7 +30,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 
 WORKER = r"""
-import json, statistics, sys, tempfile, time
+import atexit, json, shutil, statistics, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from solrutils_spark.session import get_spark
 from solrutils_spark.corpus import reference_queries, synth_corpus
@@ -44,7 +44,21 @@ spark.sparkContext.setLogLevel("ERROR")
 # warm the session: fork python workers + JIT scan paths so JVM/worker
 # startup (~10s, identical at every level) is not measured as serial work
 spark.range(0, cpus * 1000, numPartitions=cpus).mapInPandas(lambda it: it, "id long").count()
-out = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
+# every tmpdir is removed on exit: a 1M rep leaves ~10 GB otherwise, and a
+# NEARLY-FULL DISK is the largest noise source found on this box — 77 GB of
+# accumulated bench dirs drove /tmp to 97% and identical 8-core builds to
+# 132 s → 383 s (ext4 allocation stalls), masquerading as neighbor noise
+_tmpdirs = []
+
+
+def _tmp(prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    _tmpdirs.append(d)
+    return d
+
+
+atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True) for d in _tmpdirs])
+out = _tmp(f"scale{{cpus}}_")
 # Input = a MATERIALIZED parquet corpus (written untimed): at deployment
 # scale the build reads from storage, so timing the in-UDF synthetic
 # generator would measure the data generator, not the engine. Generation
@@ -54,15 +68,30 @@ synth_corpus(spark, n_docs, hot_repeat=100_000, partitions=64).write.mode(
     "overwrite").parquet(out + "/corpus.parquet")
 gen_sec = time.perf_counter() - t0
 corpus = spark.read.parquet(out + "/corpus.parquet")
+# warmup iteration: the FIRST build in a session pays ~6-9 s of ONE-TIME JVM
+# codegen/JIT for the build pipeline (measured: 22.3 s then 13.6 s for
+# identical back-to-back sf0.1 builds). That cost is identical at every
+# parallelism level, so leaving it in the timed leg dilutes the ratio with a
+# constant that is not the engine — warm it out, untimed, at every level.
+build_index(corpus.limit(2000), _tmp(f"warm{{cpus}}_"),
+            segment_size=1024, num_salts=8, num_buckets=8)
 # FIXED job geometry at every parallelism level (north_rule: the SAME job at
 # N and 4N): 256 segments, 64 salts (salt_group=4), 64 buckets — the index
 # produced at both levels is byte-identical per (term, salt); only the
 # executor count varies. 256 small segments pack waves tightly and keep each
 # kernel cache-resident (measured: −22% wall at 16 cores vs 64 segments).
-t0 = time.perf_counter()
-build_index(corpus, out, segment_size=max(128, n_docs // 256),
-            num_salts=64, num_buckets=64)
-build_sec = time.perf_counter() - t0
+# The build is timed TWICE (separate output dirs) and the MIN is reported,
+# with both raws disclosed: identical back-to-back builds measured 232 s
+# then 132 s (1.76x one-sided noise: disk-near-full stalls + neighbor load)
+# — min-of-2 per leg is the standard robust estimator under one-sided noise.
+build_raw = []
+for rep in range(2):
+    d = out if rep else _tmp(f"scale{{cpus}}a_")
+    t0 = time.perf_counter()
+    build_index(corpus, d, segment_size=max(128, n_docs // 256),
+                num_salts=64, num_buckets=64)
+    build_raw.append(round(time.perf_counter() - t0, 3))
+build_sec = min(build_raw)
 
 reader = IndexReader(spark, out).cache_for_serving()  # salt-partitioned hot cache
 qset = reference_queries()
@@ -71,18 +100,21 @@ qset = reference_queries()
 # the whole batch; separate jobs would re-pay scheduling + decode per repeat)
 big = [(qid + 1000 * rep, q, k) for rep in range(8) for qid, q, k in qset]
 reader.search_batch(qset).count()  # warm the cache
-t0 = time.perf_counter()
-reader.search_batch(big).count()
-batch_sec = time.perf_counter() - t0
+batch_raw = []
+for _ in range(2):  # min-of-2, same rationale as the build
+    t0 = time.perf_counter()
+    reader.search_batch(big).count()
+    batch_raw.append(round(time.perf_counter() - t0, 3))
+batch_sec = min(batch_raw)
 # latency: the pyarrow serving path (single-node twin of Lucene's searcher)
 lat = []
 for _qid, qtext, k in qset:
     s = time.perf_counter(); reader.search_local(qtext, k); lat.append(time.perf_counter() - s)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "n_docs": n_docs, "gen_sec": round(gen_sec, 3),
-    "build_sec": round(build_sec, 3),
+    "build_sec": round(build_sec, 3), "build_raw": build_raw,
     "docs_per_sec": round(n_docs / build_sec, 1),
-    "query_batch_sec": round(batch_sec, 3),
+    "query_batch_sec": round(batch_sec, 3), "batch_raw": batch_raw,
     "queries_per_sec": round(8 * len(qset) / batch_sec, 1),
     "p50_ms": round(1000 * statistics.median(lat), 1),
 }}))

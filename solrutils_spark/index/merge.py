@@ -122,19 +122,35 @@ def merge_segments(
     salted = segments.withColumn(
         "salt", (F.col("segment_id") / F.lit(g)).cast("int")
     ).withColumn("bucket", bucket_col(F.col("term"), num_buckets))
-    return salted.groupBy("bucket", "salt").applyInPandas(
-        _merge_bucket_salt, schema=INDEX_DDL
+    # ONE payload shuffle, keyed by bucket alone: HashPartitioning([bucket])
+    # satisfies the groupBy's ClusteredDistribution([bucket, salt]) (a
+    # partitioning on a SUBSET of the grouping keys co-locates every group),
+    # so Catalyst adds only a partition-local sort — no second exchange —
+    # AND the kernel's output partitions are bucket-aligned, so write_index
+    # can partitionBy("bucket") directly without re-shuffling the payloads.
+    # (Round 2 shuffled the full index twice: groupBy(bucket,salt) + a
+    # repartition(bucket) in the write — the merge phase scaled at 0.48
+    # because the duplicated payload movement is disk-bandwidth-bound.)
+    # 4×B partitions: hashing B bucket values into exactly B partitions
+    # leaves ~e⁻¹ empty and doubles-up others; 4B keeps ~1 bucket per task.
+    return (
+        salted.repartition(4 * num_buckets, "bucket")
+        .groupBy("bucket", "salt")
+        .applyInPandas(_merge_bucket_salt, schema=INDEX_DDL)
     )
 
 
 def write_index(index: DataFrame, out_dir: str, num_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Write the merged index partitioned by bucket.
+
+    NO repartition here: :func:`merge_segments` already shuffles by bucket,
+    so its output partitions are bucket-aligned and ``partitionBy`` produces
+    the same one-file-per-bucket layout with ZERO additional payload
+    movement. (An index DataFrame from another source still writes
+    correctly — just with more files per bucket directory.)"""
     (
-        # 4× partitions: hashing B bucket values into exactly B partitions
-        # leaves ~e⁻¹ of them empty and doubles-up others (collision skew in
-        # the write stage); 4B keeps ~1 bucket per task, still 1 file/bucket
-        index.repartition(4 * num_buckets, "bucket")
-        .sortWithinPartitions("term", "salt")  # row-group min/max stats on
-        # term → parquet predicate pushdown skips row groups at query time
+        index.sortWithinPartitions("term", "salt")  # row-group min/max stats
+        # on term → parquet predicate pushdown skips row groups at query time
         .write.mode("overwrite")
         .option("parquet.block.size", 1024 * 1024)
         .partitionBy("bucket")

@@ -56,25 +56,47 @@ class _PostingRow:
                  "block_offset", "block_last", "block_max_tf", "block_min_dl")
 
 
+def _list_col_views(arr) -> list[np.ndarray]:
+    """pyarrow ListArray → per-row numpy views (zero-copy; no python lists).
+
+    At 1M+ docs a hot term's block arrays hold thousands of entries —
+    ``to_pydict`` boxes every element into a Python object (measured: serving
+    p50 633→883 ms at 1M), while offset-sliced views cost O(rows)."""
+    if arr.offset != 0:  # sliced array: offsets buffer is shifted — rare here
+        return [np.asarray(v) for v in arr.to_pylist()]
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return [vals[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+
 def _rows_from_arrow(tbl) -> list[_PostingRow]:
     """pyarrow Table → records, bypassing pandas (serving hot path)."""
-    d = tbl.to_pydict()
-    terms, salts = d["term"], d["salt"]
-    df_parts, first_docs, payloads = d["df_part"], d["first_doc"], d["payload"]
-    offs, lasts = d["block_offset"], d["block_last"]
-    mtfs, mdls = d["block_max_tf"], d["block_min_dl"]
+    tbl = tbl.combine_chunks()
+    terms = tbl.column("term").to_pylist()
+    salts = tbl.column("salt").to_pylist()
+    df_parts = tbl.column("df_part").to_numpy(zero_copy_only=False)
+    first_docs = tbl.column("first_doc").to_numpy(zero_copy_only=False)
+    payloads = tbl.column("payload").to_pylist()
+    col = lambda n: tbl.column(n).chunk(0) if tbl.column(n).num_chunks else None  # noqa: E731
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    offs = _list_col_views(col("block_offset"))
+    lasts = _list_col_views(col("block_last"))
+    mtfs = _list_col_views(col("block_max_tf"))
+    mdls = _list_col_views(col("block_min_dl"))
     out = []
-    for i in range(tbl.num_rows):
+    for i in range(n):
         r = _PostingRow()
         r.term = terms[i]
         r.salt = salts[i]
         r.df_part = df_parts[i]
         r.first_doc = first_docs[i]
         r.payload = payloads[i]
-        r.block_offset = np.asarray(offs[i], dtype=np.int32)
-        r.block_last = np.asarray(lasts[i], dtype=np.int64)
-        r.block_max_tf = np.asarray(mtfs[i], dtype=np.int64)
-        r.block_min_dl = np.asarray(mdls[i], dtype=np.int64)
+        r.block_offset = offs[i].astype(np.int32, copy=False)
+        r.block_last = lasts[i].astype(np.int64, copy=False)
+        r.block_max_tf = mtfs[i].astype(np.int64, copy=False)
+        r.block_min_dl = mdls[i].astype(np.int64, copy=False)
         out.append(r)
     return out
 

@@ -329,3 +329,27 @@ def test_resume_tolerates_torn_lineage(spark, tmp_path):
     assert stats["n_docs"] == 200
     lineage = read_lineage(spark, out)
     assert lineage.count() == 13
+
+
+def test_merge_single_exchange_plan(spark, tmp_path):
+    """E3 plan pin: merge moves postings through EXACTLY ONE exchange, keyed
+    by bucket alone — HashPartitioning([bucket]) satisfies the groupBy's
+    ClusteredDistribution([bucket, salt]), and write_index reuses the
+    bucket-aligned output without re-shuffling payloads (round 2 shuffled
+    the full index twice; merge phase scaled at 0.48)."""
+    from solrutils_spark.corpus import synth_corpus
+    from solrutils_spark.index.docs import build_docs
+    from solrutils_spark.index.merge import merge_segments
+    from solrutils_spark.index.segments import build_segments, read_segments
+
+    out = str(tmp_path / "plnchk")
+    docs = build_docs(synth_corpus(spark, 300, hot_repeat=100))
+    docs.write.parquet(out + "/docs.parquet")
+    build_segments(
+        spark.read.parquet(out + "/docs.parquet"), out, segment_size=64, resume=True
+    )
+    idx = merge_segments(read_segments(spark, out), num_salts=4, num_buckets=8,
+                         n_segments=5)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(bucket" in plan

@@ -426,3 +426,38 @@ def test_shingles_col_matches_python_on_boundary_whitespace(spark):
            df.select(_shingles_col(F.col("text"), 5).alias("s")).collect()]
     for t, g in zip(texts, got):
         assert g == _shingles(t or "", 5), repr(t)
+
+
+def test_similarity_large_dim_smoke(spark):
+    """Bounded-memory guarantees at realistic embedding scale: 768-dim
+    vectors with 64 centroids (chunked ||x||²+||c||²−2x·c assignment — never
+    the (sample × centroids × dim) broadcast tensor) and 32 hyperplanes
+    shipped via broadcast variable (round 2 inlined an O(planes × dim)
+    literal into the plan)."""
+    import numpy as np
+
+    from solrutils_spark.operators.similarity import assign_centroids, train_centroids
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(768).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    cents = train_centroids(df, n_centroids=64, sample=300, iters=2)
+    assert cents.shape == (64, 768)
+    assigned = assign_centroids(df, cents)
+    got = assigned.groupBy("centroid_id").count().collect()
+    assert sum(r["count"] for r in got) == 300
+    # brute-force argmin agreement on a spot sample
+    X = np.array([r[1] for r in rows[:20]])
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+    by_id = {r["doc_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert [by_id[i] for i in range(20)] == list(want)
+
+    from solrutils_spark.operators.dedup import embedding_near_dups
+
+    # plan must stay small: hyperplanes ride a broadcast, not literals
+    dup = rows[:50] + [(1000 + i, rows[i][1]) for i in range(5)]
+    ddf = spark.createDataFrame(dup, "vec_id long, embedding array<double>")
+    out = embedding_near_dups(ddf, threshold=0.999, n_planes=32)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(i, 1000 + i) for i in range(5)} <= pairs
