@@ -97,6 +97,7 @@ def build_index(
         .agg(F.sum("df_part").alias("df"))
         .repartition("bucket")
         .write.mode("overwrite")
+        .option("compression", "snappy")  # serving-read artifact, like index
         .partitionBy("bucket")
         .parquet(str(out / "termdf"))
     )

@@ -153,6 +153,11 @@ def write_index(index: DataFrame, out_dir: str, num_buckets: int = DEFAULT_BUCKE
         # on term → parquet predicate pushdown skips row groups at query time
         .write.mode("overwrite")
         .option("parquet.block.size", 1024 * 1024)
+        # snappy, NOT the session's zstd default: the index is the
+        # SERVING-latency artifact — zstd decode on the pyarrow read path
+        # cost ~10-25% of 1M-doc p50; build-internal artifacts (docs,
+        # segments) stay zstd where bytes, not decode latency, dominate
+        .option("compression", "snappy")
         .partitionBy("bucket")
         .parquet(str(Path(out_dir) / "index"))
     )
