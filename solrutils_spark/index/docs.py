@@ -56,7 +56,11 @@ def dedup_latest_commit(corpus: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    corpus: DataFrame,
+    num_partitions: int | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Add dense deterministic ``doc_id`` — one counting job, one shuffle.
 
     Scheme: ``bucket = pmod(xxhash64(repo, path, commit), P)``; rank rows
@@ -72,12 +76,23 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     driver); the rank+offset arithmetic rides inside whatever action consumes
     the result. No range-sampler pass, no offsets broadcast join (the bucket →
     offset map is a P-element literal array — trivial at P=1024).
+
+    The tagged keys are PERSISTED internally: the counts job and the final
+    rank run as two separate actions, and without a cache a
+    nondeterministic / re-read source could produce mismatched counts vs
+    ranks (non-dense or colliding ids). Persisting inside the function makes
+    the determinism contract unconditional; pass ``cache_registry`` (as
+    ``build_docs`` does) to unpersist once the result is materialized.
     """
     if num_partitions is None:
         num_partitions = _ID_BUCKETS
     P = int(num_partitions)
+    from pyspark import StorageLevel
+
     bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(P)).cast("int")
-    tagged = corpus.withColumn("_bkt", bucket)
+    tagged = corpus.withColumn("_bkt", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(tagged)
     counts = {
         r["_bkt"]: r["cnt"]
         for r in tagged.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
@@ -140,7 +155,7 @@ def build_docs(
     if cache_registry is not None:
         cache_registry.append(latest)
     # dense ids on the skinny key table (one counts job — fills the cache too)
-    ranked = assign_doc_ids(latest, num_partitions)  # (repo, path, commit, doc_id)
+    ranked = assign_doc_ids(latest, num_partitions, cache_registry)
     # single wide pass: join ids onto the corpus (content moves once, into
     # the join — hash-partitioned by the unique key, no sort of content)
     docs = corpus.join(ranked, ["repo", "path", "commit"])

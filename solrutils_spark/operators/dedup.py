@@ -52,19 +52,28 @@ def _shingles(text: str, k: int = 5) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+# Java-regex class equal to Python str.split()'s whitespace set: (?U) makes
+# \s the Unicode White_Space property (vs ASCII-only default), and Python's
+# str.isspace() additionally counts U+001C..U+001F (bidi classes B/S) which
+# White_Space excludes. Pinned by test against Python .split() on both.
+_WS_RE = r"(?U)[\s\x1c-\x1f]+"
+
+
 def _shingles_col(text_col, k: int):
     """Column twin of :func:`_shingles` (whole-stage codegen — shared by the
     JVM minhash signatures and the JVM jaccard verify).
 
     Tokenization matches Python ``str.split()`` exactly: empty tokens are
     FILTERED, so boundary ``\\t/\\n/\\r`` (e.g. a trailing newline, ubiquitous
-    in file-derived corpora) never injects an empty-string token. (Round 2
+    in file-derived corpora) never injects an empty-string token (round 2
     used ``F.trim`` — space-only — so such texts grew a phantom token that
     perturbed every shingle and let trailing-newline near-dups escape the
-    verify stage.)"""
+    verify stage), and the split class is Unicode-aware (``_WS_RE``: Java
+    ``\\s`` is ASCII-only by default, so U+00A0 etc. would diverge from the
+    Python oracle)."""
     t = text_col if not isinstance(text_col, str) else F.col(text_col)
     toks = F.filter(
-        F.split(F.coalesce(t, F.lit("")), r"\s+"), lambda x: F.length(x) > 0
+        F.split(F.coalesce(t, F.lit("")), _WS_RE), lambda x: F.length(x) > 0
     )
     n = F.size(toks)
     return (
@@ -238,7 +247,7 @@ def simhash_signatures_jvm(
     hamming semantics are identical.
     """
     t = F.col(text_col)
-    toks = F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0)
+    toks = F.filter(F.split(t, _WS_RE), lambda x: F.length(x) > 0)
     exploded = df.select(id_col, F.explode_outer(toks).alias("_tok"))
     h = F.xxhash64(F.col("_tok"))
     live = ~F.col("_tok").isNull()
@@ -467,8 +476,11 @@ def dedup_clusters(
       job per round is the cheaper, predictable cost.
 
     Only ids that appear in ``pairs`` are returned — resolve singletons with
-    :func:`near_dup_keep`. Set ``driver_edge_threshold=0`` to force the
-    distributed path (tests do, to exercise it on adversarial chains).
+    :func:`near_dup_keep`. Degenerate self-pairs ``(a, a)`` yield a singleton
+    cluster ``(a, a)`` on BOTH paths (LSH generators never emit them, but the
+    paths must be output-identical on all inputs). Set
+    ``driver_edge_threshold=0`` to force the distributed path (tests do, to
+    exercise it on adversarial chains).
     """
     edges = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
@@ -476,9 +488,14 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    n_edges = edges.count()  # also materializes the cache for the loop
+    # threshold + collect both operate on the x<=y half: distinct UNDIRECTED
+    # edges (self-pairs count once), so the documented threshold and the
+    # collected volume agree (round-3 advice: counting the bidirectional
+    # list engaged the driver path at half the documented graph size)
+    half = edges.filter(F.col("x") <= F.col("y"))
+    n_edges = half.count()  # also materializes the edges cache for the loop
     if n_edges <= driver_edge_threshold:
-        rows = edges.filter(F.col("x") < F.col("y")).collect()
+        rows = half.collect()
         spark = pairs.sparkSession
         edges.unpersist()
         parent: dict[int, int] = {}

@@ -246,6 +246,12 @@ class MiniXSLT:
             self._apply_one(ctx.at(child, i, len(kids)), root, out)
 
     def _apply_one(self, ctx: _Ctx, root: ET.Element, out: ET.Element):
+        # Fresh param frame: a match-template reached via apply-templates must
+        # NOT see the caller's bindings (this subset has no apply-templates
+        # with-param, and real XSLT errors on an unbound $ref — leaking the
+        # caller's env would silently resolve names the template never
+        # declared, violating the never-a-silent-wrong-answer contract).
+        ctx = ctx.with_env({})
         tmpl = self._find_template(ctx.node, root)
         if tmpl is not None:
             self._run_body(tmpl, ctx, root, out)

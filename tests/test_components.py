@@ -554,3 +554,24 @@ def test_one_domain_decode_per_request(engine, monkeypatch):
     # both facet families read the persisted domain (numFound's count()
     # already materialized it — execute() orders count before _add_facets)
     assert facet_domain_cached == [True, True]
+
+
+def test_xslt_params_do_not_leak_across_apply_templates():
+    """ADVICE r3: a match-template reached via apply-templates (here, from
+    inside a named template holding a param) must NOT see the caller's
+    bindings — an unbound $ref raises loudly instead of silently resolving."""
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><r><xsl:call-template name="t">
+        <xsl:with-param name="p" select="'v'"/>
+      </xsl:call-template></r></xsl:template>
+      <xsl:template name="t"><xsl:param name="p"/>
+        <xsl:apply-templates select="doc/a"/></xsl:template>
+      <xsl:template match="a"><xsl:value-of select="$p"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(sheet)("<doc><a/></doc>")

@@ -419,6 +419,13 @@ def test_shingles_col_matches_python_on_boundary_whitespace(spark):
         "   ",
         "one two\nthree four five six \n",
         "x\ty\nz w v u t",
+        # Unicode whitespace (ADVICE r3: Java \s is ASCII-only by default;
+        # Python str.split() also splits NBSP, NEL, LINE SEP, IDEOGRAPHIC
+        # SPACE and the U+001C..1F separators — _WS_RE must match them all)
+        "alpha\u00a0beta gamma\u00a0delta epsilon zeta",
+        "a\u001cb\u3000c d e f",
+        "x\u2028y\u0085z\u001fw\u001dv u",
+        "nel\u0085sep\u2029ok fine then\u00a0",
         None,
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
@@ -461,3 +468,35 @@ def test_similarity_large_dim_smoke(spark):
     out = embedding_near_dups(ddf, threshold=0.999, n_planes=32)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert {(i, 1000 + i) for i in range(5)} <= pairs
+
+
+def test_dedup_clusters_self_pairs_both_paths(spark):
+    """Degenerate (a, a) self-pairs yield a singleton cluster on BOTH paths
+    (round-3 verdict: the driver path's x<y filter used to drop them while
+    the distributed path returned them)."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (9, 9)], "id_a long, id_b long")
+    want = {1: 1, 2: 1, 5: 5, 9: 9}
+    fast = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, driver_edge_threshold=0).collect()}
+    assert fast == want
+    assert dist == want
+
+
+def test_assign_doc_ids_internal_persist(spark):
+    """ADVICE r3: the two-action id assignment persists the tagged keys
+    internally (counts and ranks must see the same rows even for a
+    nondeterministic / re-read source); the registry hands the cache back
+    to the caller for cleanup."""
+    from solrutils_spark.index.docs import assign_doc_ids
+
+    df = spark.createDataFrame([("r", f"p{i:03d}", "c") for i in range(50)],
+                               "repo string, path string, commit string")
+    reg = []
+    out = assign_doc_ids(df, cache_registry=reg)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == list(range(50))
+    assert len(reg) == 1 and reg[0].is_cached
+    for c in reg:
+        c.unpersist()
