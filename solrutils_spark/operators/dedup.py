@@ -451,6 +451,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 20,
     driver_edge_threshold: int = 2_000_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup cluster resolution: candidate pairs → (id, cluster_id) with
     cluster_id = MIN doc_id of the connected component — the keep/drop
@@ -494,6 +495,9 @@ def dedup_clusters(
     # list engaged the driver path at half the documented graph size)
     half = edges.filter(F.col("x") <= F.col("y"))
     n_edges = half.count()  # also materializes the edges cache for the loop
+    if stats_out is not None:  # observability: path + rounds, for evidence runs
+        stats_out["n_edges"] = n_edges
+        stats_out["path"] = "driver" if n_edges <= driver_edge_threshold else "distributed"
     if n_edges <= driver_edge_threshold:
         rows = half.collect()
         spark = pairs.sparkSession
@@ -527,7 +531,9 @@ def dedup_clusters(
         edges.select(F.col("x").alias("id")).distinct().withColumn("label", F.col("id"))
     )
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(
                 labels.select(F.col("id").alias("y"), F.col("label").alias("ylab")), "y"
@@ -552,6 +558,8 @@ def dedup_clusters(
         if s == prev_sum:  # labels only decrease → fixpoint reached
             break
         prev_sum = s
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 

@@ -56,6 +56,9 @@ class _PostingRow:
                  "block_offset", "block_last", "block_max_tf", "block_min_dl")
 
 
+_SLICED_FALLBACKS = 0  # observability: serving reads should NEVER be sliced
+
+
 def _list_col_views(arr) -> list[np.ndarray]:
     """pyarrow ListArray → per-row numpy views (zero-copy; no python lists).
 
@@ -63,6 +66,12 @@ def _list_col_views(arr) -> list[np.ndarray]:
     ``to_pydict`` boxes every element into a Python object (measured: serving
     p50 633→883 ms at 1M), while offset-sliced views cost O(rows)."""
     if arr.offset != 0:  # sliced array: offsets buffer is shifted — rare here
+        # Counted, not silent (round-3 advice): serving reads are whole
+        # tables post-combine_chunks, so this boxing path indicates an
+        # upstream pyarrow behavior change eating the zero-copy win. The
+        # counter makes that visible to a latency investigation.
+        global _SLICED_FALLBACKS
+        _SLICED_FALLBACKS += 1
         return [np.asarray(v) for v in arr.to_pylist()]
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     vals = arr.values.to_numpy(zero_copy_only=False)

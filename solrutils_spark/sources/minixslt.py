@@ -11,9 +11,14 @@ supported instructions
     xsl:template match="name|a/b|/"    (also match="*"; first doc-order win,
                                         longer paths tried first)
     xsl:template name=... + xsl:call-template [xsl:with-param]
+    xsl:template mode=... + xsl:apply-templates mode=... (built-in rules
+                                        descend in the same mode)
     xsl:param (in named templates; select= or literal-content default)
-    xsl:apply-templates [select=path]
-    xsl:for-each select=path           (sets position()/last())
+    xsl:apply-templates [select=path] [mode=m] [xsl:sort...]
+    xsl:for-each select=path [xsl:sort...]  (sets position()/last())
+    xsl:sort select= [data-type=text|number] [order=ascending|descending]
+                                        (stable multi-key; doc-order ties)
+    xsl:key name/match/use + key('name', arg)[/steps] in select paths
     xsl:value-of select=path|position()|last()|$param
     xsl:copy-of select=path            (deep copy of selected nodes/values)
     xsl:if test="path" | "path='lit'" | "not(...)" | "position()=N"
@@ -50,6 +55,7 @@ _EQ_TEST_RE = re.compile(r"^(.*?)\s*=\s*'([^']*)'$")
 _POS_TEST_RE = re.compile(r"^(position\(\)|last\(\))\s*=\s*(\d+)$")
 _STEP_RE = re.compile(r"^([^\[\]]+)((?:\[[^\]]*\])*)$")
 _PRED_RE = re.compile(r"\[([^\]]*)\]")
+_KEY_RE = re.compile(r"^key\(\s*'([^']*)'\s*,\s*([^)]*?)\s*\)(.*)$")
 
 
 class UnsupportedXsltError(NotImplementedError):
@@ -91,19 +97,30 @@ class MiniXSLT:
         sheet = ET.fromstring(xslt_source)
         if sheet.tag not in (f"{_X}stylesheet", f"{_X}transform"):
             raise UnsupportedXsltError(f"not a stylesheet root: {sheet.tag}")
-        self.templates: list[tuple[str, ET.Element]] = []
+        self.templates: list[tuple[str, str | None, ET.Element]] = []
         self.named: dict[str, ET.Element] = {}
+        self.key_defs: list[tuple[str, str, str]] = []  # (name, match, use)
         for child in sheet:
             tag = child.tag
             if tag == f"{_X}template":
                 match = child.get("match")
                 name = child.get("name")
+                mode = child.get("mode")
                 if name is not None:
                     self.named[name] = child
                 if match is not None:
-                    self.templates.append((match, child))
+                    self.templates.append((match, mode, child))
                 if match is None and name is None:
                     raise UnsupportedXsltError("template needs match= or name=")
+            elif tag == f"{_X}key":
+                kname, kmatch, kuse = (child.get("name"), child.get("match"),
+                                       child.get("use"))
+                if not (kname and kmatch and kuse):
+                    raise UnsupportedXsltError("xsl:key needs name/match/use")
+                if "[" in kmatch:
+                    raise UnsupportedXsltError(
+                        "predicates in key match patterns not supported")
+                self.key_defs.append((kname, kmatch, kuse))
             elif tag == f"{_X}output":
                 continue  # serialization hints — we always emit unicode XML
             elif tag is ET.Comment:
@@ -131,6 +148,9 @@ class MiniXSLT:
                 raise UnsupportedXsltError(f"undefined parameter ${name}")
             val = ctx.env[name]
             return list(val) if isinstance(val, list) else [val]
+        km = _KEY_RE.match(path)
+        if km:
+            return self._key_select(ctx, km, root)
         # absolute paths start at the synthetic document node (whose only
         # child is the source root element), exactly like XSLT's "/"
         nodes: list = [root] if path.startswith("/") else [ctx.node]
@@ -156,6 +176,73 @@ class MiniXSLT:
                 out.extend(matched)
             nodes = out
         return nodes
+
+    def _key_select(self, ctx: _Ctx, km: "re.Match[str]", root: ET.Element) -> list:
+        """``key('name', arg)[/more/steps]`` — arg is a quoted literal or a
+        path whose node string-values are unioned (XPath key() semantics)."""
+        kname, argsrc, rest = km.group(1), km.group(2).strip(), km.group(3).strip()
+        tables = getattr(self, "_keys", {})
+        if kname not in tables:
+            raise UnsupportedXsltError(f"key() over undeclared key {kname!r}")
+        if argsrc.startswith("'") and argsrc.endswith("'"):
+            vals = [argsrc[1:-1]]
+        else:
+            vals = [_string_value(n) for n in self._select(ctx, argsrc, root)]
+        nodes: list = []
+        seen: set[int] = set()
+        for v in vals:  # union in document order per value, dedup across values
+            for n in tables[kname].get(v, []):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    nodes.append(n)
+        if not rest:
+            return nodes
+        if not rest.startswith("/"):
+            raise UnsupportedXsltError(f"cannot parse key() suffix {rest!r}")
+        out: list = []
+        for n in nodes:
+            out.extend(self._select(ctx.at(n, 1, 1), rest.lstrip("/"), root))
+        return out
+
+    def _sort_spec(self, instr: ET.Element) -> list[tuple[str, str, str]]:
+        """Collect xsl:sort children of for-each / apply-templates."""
+        specs = []
+        for c in instr:
+            if c.tag != f"{_X}sort":
+                continue
+            sel = c.get("select", ".")
+            dt = c.get("data-type", "text")
+            order = c.get("order", "ascending")
+            if dt not in ("text", "number"):
+                raise UnsupportedXsltError(f"sort data-type {dt!r} not supported")
+            if order not in ("ascending", "descending"):
+                raise UnsupportedXsltError(f"sort order {order!r} not supported")
+            if c.get("lang") or c.get("case-order"):
+                raise UnsupportedXsltError("sort lang/case-order not supported")
+            if "position()" in sel or "last()" in sel:
+                raise UnsupportedXsltError("positional sort keys not supported")
+            specs.append((sel, dt, order))
+        return specs
+
+    def _sorted(self, targets: list, specs: list, ctx: _Ctx,
+                root: ET.Element) -> list:
+        """Stable multi-key sort (keys applied last→first; document order
+        breaks ties, as XSLT 1.0 requires)."""
+        if not specs:
+            return targets
+        out = list(targets)
+        for sel, dt, order in reversed(specs):
+            def keyf(n, sel=sel, dt=dt):
+                vals = self._select(ctx.at(n, 1, 1), sel, root)
+                s = _string_value(vals[0]) if vals else ""
+                if dt == "number":
+                    try:
+                        return float(s)
+                    except ValueError:
+                        return float("-inf")  # NaN-like sorts first, as libxslt
+                return s
+            out.sort(key=keyf, reverse=(order == "descending"))
+        return out
 
     @staticmethod
     def _step_base(n: ET.Element, base: str) -> list:
@@ -188,29 +275,40 @@ class MiniXSLT:
         return self._test(ctx.at(value, pos, last), pred, root)
 
     # -- matching ------------------------------------------------------------
-    def _find_template(self, elem: ET.Element, root: ET.Element) -> ET.Element | None:
+    def _matches_pattern(self, elem: ET.Element, match: str) -> bool:
+        """True if ``elem`` matches a (predicate-free) pattern like
+        ``name``, ``a/b``, ``*``, ``/abs/path`` — suffix match on the
+        recorded ancestor names (shared by template dispatch and xsl:key)."""
         name = _strip_ns(elem.tag)
-        for match, tmpl in self.templates:
+        steps = [s for s in match.split("/") if s]
+        if not steps:
+            return False
+        if any("[" in s for s in steps):
+            raise UnsupportedXsltError(
+                f"predicates in match patterns not supported: {match!r}"
+            )
+        if steps[-1] not in ("*", name):
+            return False
+        anc = self._ancestors.get(id(elem), [])
+        want = steps[:-1]
+        if len(want) <= len(anc) and all(
+            w in ("*", a) for w, a in zip(want, anc[len(anc) - len(want):])
+        ):
+            return not match.startswith("/") or len(want) == len(anc)
+        return False
+
+    def _find_template(
+        self, elem: ET.Element, root: ET.Element, mode: str | None = None
+    ) -> ET.Element | None:
+        for match, tmode, tmpl in self.templates:
+            if tmode != mode:
+                continue
             if match == "/":
                 if elem is root and getattr(self, "_root_phase", False):
                     return tmpl
                 continue
-            steps = [s for s in match.split("/") if s]
-            if not steps:
-                continue
-            if any("[" in s for s in steps):
-                raise UnsupportedXsltError(
-                    f"predicates in match patterns not supported: {match!r}"
-                )
-            if steps[-1] in ("*", name):
-                # suffix match on the recorded ancestor names
-                anc = self._ancestors.get(id(elem), [])
-                want = steps[:-1]
-                if len(want) <= len(anc) and all(
-                    w in ("*", a) for w, a in zip(want, anc[len(anc) - len(want):])
-                ):
-                    if not match.startswith("/") or len(want) == len(anc):
-                        return tmpl
+            if self._matches_pattern(elem, match):
+                return tmpl
         return None
 
     # -- application ---------------------------------------------------------
@@ -226,6 +324,18 @@ class MiniXSLT:
                 record(c, path + [_strip_ns(e.tag)])
 
         record(src, [])
+        # xsl:key tables: one doc-order walk per key definition, built once
+        # per document (libxslt does the same lazily; eager is simpler and
+        # the mapping-sheet sources are request-sized)
+        self._keys: dict[str, dict[str, list]] = {}
+        for kname, kmatch, kuse in self.key_defs:
+            table = self._keys.setdefault(kname, {})
+            for e in src.iter():
+                if not isinstance(e.tag, str):
+                    continue  # comments / processing instructions
+                if self._matches_pattern(e, kmatch):
+                    for v in self._select(_Ctx(e), kuse, doc):
+                        table.setdefault(_string_value(v), []).append(e)
         out_root = ET.Element("__result__")
         self._root_phase = True
         tmpl = self._find_template(doc, doc)
@@ -240,23 +350,25 @@ class MiniXSLT:
             return ET.tostring(kids[0], encoding="unicode")
         return ET.tostring(out_root, encoding="unicode")
 
-    def _apply_to_children(self, ctx: _Ctx, root: ET.Element, out: ET.Element):
+    def _apply_to_children(self, ctx: _Ctx, root: ET.Element, out: ET.Element,
+                           mode: str | None = None):
         kids = list(ctx.node)
         for i, child in enumerate(kids, 1):
-            self._apply_one(ctx.at(child, i, len(kids)), root, out)
+            self._apply_one(ctx.at(child, i, len(kids)), root, out, mode)
 
-    def _apply_one(self, ctx: _Ctx, root: ET.Element, out: ET.Element):
+    def _apply_one(self, ctx: _Ctx, root: ET.Element, out: ET.Element,
+                   mode: str | None = None):
         # Fresh param frame: a match-template reached via apply-templates must
         # NOT see the caller's bindings (this subset has no apply-templates
         # with-param, and real XSLT errors on an unbound $ref — leaking the
         # caller's env would silently resolve names the template never
         # declared, violating the never-a-silent-wrong-answer contract).
         ctx = ctx.with_env({})
-        tmpl = self._find_template(ctx.node, root)
+        tmpl = self._find_template(ctx.node, root, mode)
         if tmpl is not None:
             self._run_body(tmpl, ctx, root, out)
-        else:  # built-in rule: descend
-            self._apply_to_children(ctx, root, out)
+        else:  # built-in rule: descend IN THE SAME MODE (XSLT 1.0 §5.8)
+            self._apply_to_children(ctx, root, out, mode)
 
     def _test(self, ctx: _Ctx, test: str, root: ET.Element) -> bool:
         test = test.strip()
@@ -343,23 +455,33 @@ class MiniXSLT:
                         self._append_text(out, _string_value(n))
             elif tag == f"{_X}text":
                 self._append_text(out, node.text or "")
+            elif tag == f"{_X}sort":
+                continue  # consumed by the enclosing for-each/apply-templates
             elif tag == f"{_X}for-each":
                 subs = self._select(ctx, node.get("select", "."), root)
+                subs = self._sorted(subs, self._sort_spec(node), ctx, root)
                 for i, sub in enumerate(subs, 1):
                     if not isinstance(sub, ET.Element):
                         raise UnsupportedXsltError("for-each over non-elements")
                     self._run_body(node, ctx.at(sub, i, len(subs)), root, out)
             elif tag == f"{_X}apply-templates":
+                for c in node:
+                    if c.tag != f"{_X}sort" and c.tag is not ET.Comment:
+                        raise UnsupportedXsltError(
+                            "only xsl:sort allowed inside apply-templates"
+                        )
                 sel = node.get("select")
+                mode = node.get("mode")
                 targets = (
                     self._select(ctx, sel, root)
                     if sel is not None
                     else list(ctx.node)
                 )
+                targets = self._sorted(targets, self._sort_spec(node), ctx, root)
                 for i, t in enumerate(targets, 1):
                     if not isinstance(t, ET.Element):
                         raise UnsupportedXsltError("apply-templates over values")
-                    self._apply_one(ctx.at(t, i, len(targets)), root, out)
+                    self._apply_one(ctx.at(t, i, len(targets)), root, out, mode)
             elif tag == f"{_X}call-template":
                 self._call_template(node, ctx, root, out)
             elif tag == f"{_X}if":

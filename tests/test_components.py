@@ -357,12 +357,18 @@ def test_xslt_unsupported_raises():
 
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(bad)("<a/>")
-    key = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:key name="k" match="a" use="@id"/>
+    imp = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:import href="other.xsl"/>
       <xsl:template match="/"><r/></xsl:template>
     </xsl:stylesheet>"""
     with pytest.raises(UnsupportedXsltError):
-        MiniXSLT(key)
+        MiniXSLT(imp)
+    # key() over a key name the stylesheet never declared
+    nokey = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><r><xsl:value-of select="key('nope', 'x')"/></r></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(nokey)("<a/>")
 
 
 def test_xslt_extended_constructs():
@@ -575,3 +581,65 @@ def test_xslt_params_do_not_leak_across_apply_templates():
     </xsl:stylesheet>"""
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(sheet)("<doc><a/></doc>")
+
+
+def test_xslt_key_modes_sort():
+    """Round-4 minixslt extensions (verdict #3): xsl:key/key() lookup,
+    template modes (incl. built-in-rule descent in-mode), and xsl:sort
+    (text + numeric, ascending/descending, multi-key stability) — the next
+    constructs real Solr mapping stylesheets hit after round 3's set."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.minixslt import MiniXSLT
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:key name="cat-by-id" match="category" use="@id"/>
+      <xsl:template match="/">
+        <add>
+          <xsl:for-each select="/shop/items/item">
+            <xsl:sort select="@grp"/>
+            <xsl:sort select="price" data-type="number" order="descending"/>
+            <doc sku="{@sku}">
+              <cat><xsl:value-of select="key('cat-by-id', @cat)/name"/></cat>
+              <xsl:apply-templates select="price" mode="cents"/>
+            </doc>
+          </xsl:for-each>
+          <summary>
+            <xsl:apply-templates select="/shop/items" mode="names"/>
+          </summary>
+        </add>
+      </xsl:template>
+      <xsl:template match="price" mode="cents">
+        <price_display><xsl:value-of select="."/></price_display>
+      </xsl:template>
+      <!-- mode="names": no template matches <item>, so the built-in rule
+           must descend IN MODE and reach <name> -->
+      <xsl:template match="name" mode="names">
+        <n><xsl:value-of select="."/></n>
+      </xsl:template>
+      <xsl:template match="price" mode="names"/>
+    </xsl:stylesheet>"""
+    xml = """<shop>
+      <categories>
+        <category id="c1"><name>Tools</name></category>
+        <category id="c2"><name>Toys</name></category>
+      </categories>
+      <items>
+        <item sku="A" grp="g2" cat="c1"><name>wrench</name><price>9.5</price></item>
+        <item sku="B" grp="g1" cat="c2"><name>ball</name><price>2</price></item>
+        <item sku="C" grp="g1" cat="c1"><name>hammer</name><price>11</price></item>
+        <item sku="D" grp="g1" cat="c2"><name>kite</name><price>2</price></item>
+      </items>
+    </shop>"""
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    docs = out.findall("doc")
+    # grp asc, then price desc within grp; B before D (equal keys: doc order)
+    assert [d.get("sku") for d in docs] == ["C", "B", "D", "A"]
+    assert [d.find("cat").text for d in docs] == ["Tools", "Toys", "Toys", "Tools"]
+    # mode="cents" template applied (not the no-mode built-ins)
+    assert docs[0].find("price_display").text == "11"
+    # built-in rule descended in mode="names": <name> matched, <price> muted
+    assert [n.text for n in out.find("summary").findall("n")] == [
+        "wrench", "ball", "hammer", "kite"]
+    assert out.find("summary").find("price_display") is None

@@ -500,3 +500,75 @@ def test_assign_doc_ids_internal_persist(spark):
     assert len(reg) == 1 and reg[0].is_cached
     for c in reg:
         c.unpersist()
+
+
+def test_png_roundtrip_and_variants():
+    """Round-4 verdict #6: PNG decode with no codec library (stdlib zlib +
+    numpy unfiltering). Round-trips RGB/RGBA, converts gray and palette to
+    RGB, and rejects what genuinely needs a codec."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from solrutils_spark.operators.multimodal import (
+        _PNG_SIG, decode_image, encode_png)
+
+    rng = _np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(9, 13, 3), dtype=_np.uint8)
+    assert (decode_image(encode_png(rgb)) == rgb).all()
+    rgba = rng.integers(0, 256, size=(5, 6, 4), dtype=_np.uint8)
+    assert (decode_image(encode_png(rgba)) == rgba[:, :, :3]).all()
+
+    def png(ctype, channels, w, h, body_rows, extra=b""):
+        def chunk(t, d):
+            return (_struct.pack(">I", len(d)) + t + d
+                    + _struct.pack(">I", _zlib.crc32(t + d)))
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", _zlib.compress(b"".join(body_rows)))
+                + chunk(b"IEND", b""))
+
+    # grayscale → replicated channels
+    g = png(0, 1, 3, 2, [b"\x00\x01\x02\x03", b"\x00\x0a\x0b\x0c"])
+    assert decode_image(g).tolist() == [
+        [[1, 1, 1], [2, 2, 2], [3, 3, 3]], [[10, 10, 10], [11, 11, 11], [12, 12, 12]]]
+
+    # palette lookup
+    def chunk(t, d):
+        return (_struct.pack(">I", len(d)) + t + d
+                + _struct.pack(">I", _zlib.crc32(t + d)))
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+    p = png(3, 1, 2, 1, [b"\x00\x00\x01"], extra=plte)
+    assert decode_image(p).tolist() == [[[255, 0, 0], [0, 255, 0]]]
+
+    # Sub(1)/Up(2)/Paeth(4) filters from foreign encoders decode correctly:
+    # expected output computed against an independent per-byte reference
+    w, h, bpp = 4, 3, 3
+    truth = rng.integers(0, 256, size=(h, w * bpp), dtype=_np.uint8).astype(int)
+
+    def paeth(a, b, c):
+        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rows = []
+    for r, ft in enumerate([1, 2, 4]):
+        line = bytearray([ft])
+        for i in range(w * bpp):
+            a = truth[r][i - bpp] if i >= bpp else 0
+            b = truth[r - 1][i] if r else 0
+            c = truth[r - 1][i - bpp] if (r and i >= bpp) else 0
+            pred = {1: a, 2: b, 4: paeth(a, b, c)}[ft]
+            line.append((truth[r][i] - pred) & 0xFF)
+        rows.append(bytes(line))
+    got = decode_image(png(2, 3, w, h, rows))
+    assert got.reshape(h, w * bpp).tolist() == truth.tolist()
+
+    # honest gates survive
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    interlaced = (_PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                  + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_image(interlaced)
