@@ -457,6 +457,24 @@ def q_ann_cosine(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF centroid-probe ANN over the embeddings table — the 100 TB scale
+    path (BENCH/ANN_PROBE.json: 5.1x over brute at recall@10=1.0 with
+    n_probe=4/64 at 1M vectors). Approximate by construction (recall
+    depends on the probe budget), so no SQL oracle — the driver records the
+    rows-only check; exactness of the brute baseline is pinned by
+    entry:ann_cosine and the IVF/brute agreement by pytest + the bench."""
+    from solrutils_spark.operators.similarity import (
+        assign_centroids, ivf_topk, train_centroids)
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_centroids(e, n_centroids=8, sample=2_000)
+    assigned = assign_centroids(e, cents)
+    out = ivf_topk(assigned, cents, qvec, k=ANN_K, n_probe=4)
+    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_minhash_dedup(spark, sf_dir):
     """Full MinHash+LSH+verify pipeline at τ=1.0 over the doubled corpus.
 
@@ -604,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "spellcheck": q_spellcheck,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,

@@ -19,6 +19,8 @@ supported instructions
     xsl:sort select= [data-type=text|number] [order=ascending|descending]
                                         (stable multi-key; doc-order ties)
     xsl:key name/match/use + key('name', arg)[/steps] in select paths
+    xsl:variable (top-level globals + template-local; select= or
+                                        text-only content, $name refs)
     xsl:value-of select=path|position()|last()|$param
     xsl:copy-of select=path            (deep copy of selected nodes/values)
     xsl:if test="path" | "path='lit'" | "not(...)" | "position()=N"
@@ -100,6 +102,7 @@ class MiniXSLT:
         self.templates: list[tuple[str, str | None, ET.Element]] = []
         self.named: dict[str, ET.Element] = {}
         self.key_defs: list[tuple[str, str, str]] = []  # (name, match, use)
+        self.global_vars: list[ET.Element] = []  # top-level xsl:variable
         for child in sheet:
             tag = child.tag
             if tag == f"{_X}template":
@@ -121,6 +124,11 @@ class MiniXSLT:
                     raise UnsupportedXsltError(
                         "predicates in key match patterns not supported")
                 self.key_defs.append((kname, kmatch, kuse))
+            elif tag == f"{_X}variable":
+                # global variable: evaluated per document at apply time (its
+                # select path may read the source), doc-order, may reference
+                # earlier globals
+                self.global_vars.append(child)
             elif tag == f"{_X}output":
                 continue  # serialization hints — we always emit unicode XML
             elif tag is ET.Comment:
@@ -144,9 +152,12 @@ class MiniXSLT:
             name = path[1:]
             if "/" in name or "[" in name:
                 raise UnsupportedXsltError(f"steps off a param not supported: {path}")
-            if name not in ctx.env:
-                raise UnsupportedXsltError(f"undefined parameter ${name}")
-            val = ctx.env[name]
+            if name in ctx.env:
+                val = ctx.env[name]
+            elif name in getattr(self, "_globals", {}):
+                val = self._globals[name]
+            else:
+                raise UnsupportedXsltError(f"undefined parameter/variable ${name}")
             return list(val) if isinstance(val, list) else [val]
         km = _KEY_RE.match(path)
         if km:
@@ -336,6 +347,12 @@ class MiniXSLT:
                 if self._matches_pattern(e, kmatch):
                     for v in self._select(_Ctx(e), kuse, doc):
                         table.setdefault(_string_value(v), []).append(e)
+        # global xsl:variable bindings: doc-order, each may reference the
+        # ones before it (visible through _select's $name fallback)
+        self._globals: dict[str, list] = {}
+        for gv in self.global_vars:
+            self._globals[gv.get("name", "")] = self._eval_param_value(
+                gv, _Ctx(doc), doc)
         out_root = ET.Element("__result__")
         self._root_phase = True
         tmpl = self._find_template(doc, doc)
@@ -444,6 +461,13 @@ class MiniXSLT:
                     ctx = ctx.with_env(
                         {**ctx.env, pname: self._eval_param_value(node, ctx, root)}
                     )
+            elif tag == f"{_X}variable":
+                # local variable: bound for the remaining siblings of this
+                # body (XSLT 1.0 §11.5 scope); select= or text-only content
+                ctx = ctx.with_env(
+                    {**ctx.env,
+                     node.get("name", ""): self._eval_param_value(node, ctx, root)}
+                )
             elif tag == f"{_X}value-of":
                 nodes = self._select(ctx, node.get("select", "."), root)
                 self._append_text(out, _string_value(nodes[0]) if nodes else "")

@@ -351,7 +351,7 @@ def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 
     bad = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:variable name="v" select="."/></xsl:template>
+      <xsl:template match="/"><xsl:number level="any"/></xsl:template>
     </xsl:stylesheet>"""
     import pytest
 
@@ -643,3 +643,44 @@ def test_xslt_key_modes_sort():
     assert [n.text for n in out.find("summary").findall("n")] == [
         "wrench", "ball", "hammer", "kite"]
     assert out.find("summary").find("price_display") is None
+
+
+def test_xslt_variables():
+    """Round-4: xsl:variable — top-level globals (doc-order, may reference
+    earlier globals and the source document) and template-local bindings
+    scoped to the remaining siblings; locals still do not leak through
+    apply-templates dispatch."""
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:variable name="site" select="/cfg/@site"/>
+      <xsl:variable name="suffix">-prod</xsl:variable>
+      <xsl:template match="/">
+        <out>
+          <xsl:variable name="local" select="cfg/name"/>
+          <a><xsl:value-of select="$site"/><xsl:value-of select="$suffix"/></a>
+          <b><xsl:value-of select="$local"/></b>
+          <xsl:apply-templates select="cfg/name"/>
+        </out>
+      </xsl:template>
+      <xsl:template match="name">
+        <c><xsl:value-of select="$site"/></c>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXSLT(sheet)('<cfg site="s1"><name>alpha</name></cfg>')
+    assert out == "<out><a>s1-prod</a><b>alpha</b><c>s1</c></out>"
+
+    # a local must NOT survive apply-templates into a match template
+    leak = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <xsl:variable name="v" select="'x'"/>
+        <out><xsl:apply-templates select="cfg/name"/></out>
+      </xsl:template>
+      <xsl:template match="name"><xsl:value-of select="$v"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(leak)('<cfg><name>alpha</name></cfg>')
