@@ -420,18 +420,70 @@ def decode_blocks(
     is absolute). Replaces per-run loops when WAND keeps scattered blocks —
     one terminator scan + one de-interleave regardless of fragmentation.
     """
-    selected = np.asarray(selected, dtype=np.int64)
-    nb_total = len(block_offset)
-    starts_b = block_offset[selected].astype(np.int64)
-    ends_b = np.where(
-        selected + 1 < nb_total,
-        block_offset[np.minimum(selected + 1, nb_total - 1)].astype(np.int64),
-        payload.size,
-    )
-    counts = np.minimum(n - selected * BLOCK, BLOCK)
+    return decode_blocks_many([(payload, n, block_offset, selected, prev_lasts)])
+
+
+# decode working-set budget (posting values per vectorized pass): the varint
+# scan makes ~10 array passes over 3*total uint64/int64 temporaries; keeping
+# them L2-resident beats one giant pass (measured at 1M docs: unbounded
+# batching STREAMED ~12 MB temporaries from DRAM and doubled decode time —
+# 7.8 s -> 16.8 s across the query set — while 16k-doc chunks keep the
+# amortization AND the locality)
+_DECODE_CHUNK_DOCS = 16384
+
+
+def decode_blocks_many(
+    parts: list,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block sets of MANY rows in cache-sized vectorized passes.
+
+    ``parts``: list of ``(payload, n, block_offset, selected, prev_lasts)``
+    — e.g. every salt slice of one term in the serving path. The varint
+    terminator scan, de-interleave and segmented cumsum all have per-CALL
+    fixed costs (allocations + one python-level pass per varint byte);
+    grouping salt rows amortizes them, while the ``_DECODE_CHUNK_DOCS``
+    budget keeps each pass's temporaries cache-resident (see above). Output
+    is identical to per-row :func:`decode_blocks` concatenation
+    (caller's row order, ascending doc ranges)."""
+    if len(parts) > 1:
+        groups, cur, cur_docs = [], [], 0
+        for part in parts:
+            n_sel = len(part[3])
+            part_docs = min(part[1], n_sel * BLOCK)  # ≤ docs in selected blocks
+            if cur and cur_docs + part_docs > _DECODE_CHUNK_DOCS:
+                groups.append(cur)
+                cur, cur_docs = [], 0
+            cur.append(part)
+            cur_docs += part_docs
+        groups.append(cur)
+        if len(groups) > 1:
+            outs = [decode_blocks_many(g) for g in groups]
+            return (np.concatenate([o[0] for o in outs]),
+                    np.concatenate([o[1] for o in outs]),
+                    np.concatenate([o[2] for o in outs]))
+    counts_l, bases_l, segs = [], [], []
+    for payload, n, block_offset, selected, prev_lasts in parts:
+        selected = np.asarray(selected, dtype=np.int64)
+        nb_total = len(block_offset)
+        starts_b = block_offset[selected].astype(np.int64)
+        ends_b = np.where(
+            selected + 1 < nb_total,
+            block_offset[np.minimum(selected + 1, nb_total - 1)].astype(np.int64),
+            payload.size,
+        )
+        counts_l.append(np.minimum(n - selected * BLOCK, BLOCK))
+        # per-block doc base: prev block's last (block 0's delta is absolute)
+        bases_l.append(np.where(selected > 0, prev_lasts[selected], 0))
+        if selected.size and selected[-1] - selected[0] + 1 == selected.size:
+            # contiguous run (sorted indices): one slice, no per-block gather
+            segs.append(payload[int(starts_b[0]):int(ends_b[-1])])
+        else:
+            segs.extend(payload[s:e] for s, e in zip(starts_b, ends_b))
+    counts = counts_l[0] if len(counts_l) == 1 else np.concatenate(counts_l)
+    block_base = bases_l[0] if len(bases_l) == 1 else np.concatenate(bases_l)
+    seg = segs[0] if len(segs) == 1 else np.concatenate(segs)
     total = int(counts.sum())
-    # gather selected byte ranges into one contiguous buffer
-    seg = np.concatenate([payload[s:e] for s, e in zip(starts_b, ends_b)])
+    nb = counts.size
 
     ends = np.flatnonzero((seg & 0x80) == 0)[: 3 * total]
     vstarts = np.empty(3 * total, dtype=np.int64)
@@ -444,7 +496,6 @@ def decode_blocks(
         vals[m] |= (seg[vstarts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
 
     # de-interleave [d c][t c][l c] per block
-    nb = selected.size
     chunk_counts = np.repeat(counts, 3)
     chunk_stream = np.tile(np.array([0, 1, 2]), nb)
     chunk_start = np.zeros(3 * nb, dtype=np.int64)
@@ -467,7 +518,7 @@ def decode_blocks(
     blk_starts = np.zeros(nb, dtype=np.int64)
     np.cumsum(counts[:-1], out=blk_starts[1:])
     seg_base = cs[blk_starts] - d_i64[blk_starts]
-    bases = np.where(selected > 0, prev_lasts[selected], 0) - seg_base
+    bases = block_base - seg_base
     docs = cs + np.repeat(bases, counts)
     return docs, tfs.astype(np.int64), dls.astype(np.int64)
 

@@ -416,7 +416,8 @@ class IndexReader:
                 rows.extend(_rows_from_arrow(tbl))
         if not rows:
             return []
-        docs, scores = topk_rows(rows, idf_by_term, avgdl, fetch_k)
+        docs, scores = topk_rows(rows, idf_by_term, avgdl, fetch_k,
+                                 n_docs=int(self.stats["n_docs"]))
         return [
             (int(docs[i]), float(scores[i]))
             for i in range(offset, min(fetch_k, docs.size))

@@ -31,7 +31,8 @@ import numpy as np
 import pandas as pd
 
 from solrutils_spark.functions.analyzer import B, K1
-from solrutils_spark.index.codec import BLOCK, decode_blocks, decode_run
+from solrutils_spark.index.codec import (BLOCK, decode_blocks,
+                                          decode_blocks_many, decode_run)
 
 
 def _tf_norm_bound(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
@@ -42,18 +43,43 @@ def _tf_norm_bound(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.n
 def _range_max(values: np.ndarray, left: np.ndarray, right: np.ndarray) -> np.ndarray:
     """max(values[left_i:right_i]) per range, 0.0 for empty ranges — one
     ``maximum.reduceat`` instead of a Python loop per block (left/right are
-    non-decreasing because block doc-ranges ascend and values' keys are sorted)."""
+    non-decreasing because block doc-ranges ascend and values' keys are sorted).
+
+    No padding copy: ``reduceat`` needs indices < size, so boundaries at
+    ``size`` are clamped to ``size - 1`` (the segment loses its last element)
+    and patched with ``values[-1]`` afterwards. The old ``np.append`` pad
+    copied the WHOLE accumulator per call — profiled at ~8% of serving p50
+    at 1M docs (3,952 calls x O(acc) copies)."""
     out = np.zeros(left.size, dtype=np.float64)
     valid = right > left
     if not valid.any() or values.size == 0:
         return out
-    padded = np.append(values, 0.0)  # allows right == size as a segment end
+    size = values.size
     idx = np.empty(2 * left.size, dtype=np.int64)
-    idx[0::2] = left
-    idx[1::2] = right
-    red = np.maximum.reduceat(padded, idx)[0::2]
+    np.minimum(left, size - 1, out=idx[0::2], casting="unsafe")
+    np.minimum(right, size - 1, out=idx[1::2], casting="unsafe")
+    red = np.maximum.reduceat(values, idx)[0::2]
+    tail = valid & (right >= size)
+    if tail.any():
+        red = np.where(tail, np.maximum(red, values[-1]), red)
     out[valid] = red[valid]
     return out
+
+
+def _dense_topk(scores: np.ndarray, k: int) -> np.ndarray:
+    """Exact top-k over a dense score array: indices of the k largest
+    positive entries, (score desc, doc asc) order, ties at the k-th value
+    broken by ascending doc id. O(n + k log k) — no full sort."""
+    touched = np.flatnonzero(scores)  # ascending doc ids; BM25 scores are > 0
+    vals = scores[touched]
+    T = touched.size
+    if T <= k:
+        return touched[np.lexsort((touched, -vals))]
+    kth = np.partition(vals, T - k)[T - k]
+    above = np.flatnonzero(vals > kth)
+    eq = np.flatnonzero(vals == kth)[: k - above.size]  # doc-asc ties
+    idx = np.concatenate([above, eq])
+    return touched[idx[np.lexsort((touched[idx], -vals[idx]))]]
 
 
 def topk_rows(
@@ -61,6 +87,7 @@ def topk_rows(
     idf_by_term: dict[str, float],
     avgdl: float,
     k: int,
+    n_docs: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Serving-path variant: process ALL (term, salt) rows with one shared θ.
 
@@ -100,10 +127,6 @@ def topk_rows(
         remaining_after[t] = acc_ub
         acc_ub += term_ub[t]
 
-    acc_docs = np.empty(0, dtype=np.int64)
-    acc_scores = np.empty(0, dtype=np.float64)
-    theta = -np.inf
-
     if len(terms_sorted) == 1:
         # single-term fast path: a doc's final score is exactly idf·tf_norm,
         # bounded above by its block bound — process blocks in DESCENDING
@@ -137,16 +160,14 @@ def topk_rows(
         probe = min(len(blocks) - 1, max(8, 4 * ((k + BLOCK - 1) // BLOCK)))
         spiky = len(blocks) > 16 and blocks[0][0] > 1.02 * blocks[probe][0]
         if not spiky:
-            parts_d, parts_s = [], []
-            for payload, n, block_offset, prev_lasts in row_data:
-                d, tf, dl = decode_run(payload, n, block_offset, 0, len(block_offset), 0)
-                tfv = tf.astype(np.float64)
-                parts_s.append(
-                    idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-                )
-                parts_d.append(d)
-            docs1 = np.concatenate(parts_d)
-            scores1 = np.concatenate(parts_s)
+            # flat list: bulk-decode EVERY row in one call (contiguous-run
+            # fast path inside decode_blocks_many) + one global selection
+            docs1, tf1, dl1 = decode_blocks_many([
+                (payload, n, block_offset, np.arange(len(block_offset)), prev_lasts)
+                for payload, n, block_offset, prev_lasts in row_data
+            ])
+            tfv = tf1.astype(np.float64)
+            scores1 = idf * tfv / (tfv + K1 * (1.0 - B + B * dl1.astype(np.float64) / avgdl))
             sel = np.lexsort((docs1, -scores1))[: min(k, docs1.size)]
             return docs1[sel], scores1[sel]
         # chunked descending-bound scan with a running top-k buffer:
@@ -159,37 +180,53 @@ def topk_rows(
             chunk = blocks[c0 : c0 + CHUNK]
             if np.isfinite(theta1) and top_d.size >= k and chunk[0][0] < theta1:
                 break
-            # group the chunk's blocks into contiguous runs per row
+            # group the chunk's blocks per row, decode ALL rows in one call
             by_row: dict[int, list[int]] = {}
             for _ub, ri, bi in chunk:
                 by_row.setdefault(ri, []).append(bi)
-            parts_d, parts_s = [], []
-            for ri, bis in by_row.items():
-                payload, n, block_offset, prev_lasts = row_data[ri]
-                d, tf, dl = decode_blocks(
-                    payload, n, block_offset, np.unique(np.asarray(bis)), prev_lasts
-                )
-                tfv = tf.astype(np.float64)
-                parts_s.append(
-                    idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-                )
-                parts_d.append(d)
-            md = np.concatenate([top_d, *parts_d])
-            ms = np.concatenate([top_s, *parts_s])
+            d, tf, dl = decode_blocks_many([
+                (row_data[ri][0], row_data[ri][1], row_data[ri][2],
+                 np.unique(np.asarray(bis)), row_data[ri][3])
+                for ri, bis in by_row.items()
+            ])
+            tfv = tf.astype(np.float64)
+            cs = idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+            md = np.concatenate([top_d, d])
+            ms = np.concatenate([top_s, cs])
             sel = np.lexsort((md, -ms))[: min(k, md.size)]
             top_d, top_s = md[sel], ms[sel]
             if top_d.size >= k:
                 theta1 = top_s[-1]
         return top_d, top_s
 
+    # DENSE accumulator (round 4): doc ids are dense by construction, so a
+    # per-query float64 array indexed by doc_id replaces the per-term
+    # argsort-mergesort/add.reduceat merge (profiled ~35% of serving p50 at
+    # 1M docs). Per term: scores[d] += idf·tf_norm — fancy-index += is exact
+    # because a doc appears at most once per term; contributions still add
+    # in the SAME term order (df asc, term asc), so floating-point results
+    # are bit-identical to the sorted-merge accumulator it replaces. The
+    # block certificate becomes maximum.reduceat over the dense array's
+    # block ranges (zeros ≡ "no accumulated score", same semantics).
+    if n_docs is None:  # derive the id space from the rows' last blocks
+        n_docs = 1 + max(
+            int(np.asarray(row.block_last)[-1])
+            for rows in rows_by_term.values() for row in rows
+        )
+    scores = np.zeros(int(n_docs), dtype=np.float64)
+    n_touched = 0
+    theta = -np.inf
+
     for t in terms_sorted:
         idf = idf_by_term[t]
         rem = remaining_after[t]
         # a doc appears in exactly one salt row of term t, so all of t's rows
-        # can decode against the SAME acc snapshot (their doc ranges are
-        # disjoint — the range-max certificate never sees a same-term update)
-        # and merge into acc ONCE per term: rows-1 fewer O(A log A) merges
-        term_parts_d, term_parts_c = [], []
+        # decode against the SAME accumulator snapshot (their doc ranges are
+        # disjoint — the certificate never sees a same-term update); the
+        # certificate is evaluated per row BEFORE this term's adds land, and
+        # all kept blocks of ALL rows decode in ONE decode_blocks_many call
+        # (amortizes the decoder's per-call fixed costs across the salts)
+        parts = []
         for row in rows_by_term[t]:
             payload = np.frombuffer(row.payload, dtype=np.uint8)
             block_offset = np.asarray(row.block_offset, dtype=np.int32)
@@ -204,44 +241,30 @@ def topk_rows(
                 block_ub = idf * _tf_norm_bound(
                     np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl
                 )
-                left = np.searchsorted(acc_docs, prev_lasts, side="right")
-                right = np.searchsorted(acc_docs, block_last, side="right")
-                max_acc = _range_max(acc_scores, left, right)
-                keep = np.maximum(max_acc, 0.0) + block_ub + rem >= theta
+                max_acc = _range_max(scores, prev_lasts + 1, block_last + 1)
+                keep = max_acc + block_ub + rem >= theta
             else:
                 keep = np.ones(n_blocks, dtype=bool)
 
             kept = np.flatnonzero(keep)
             if kept.size == 0:
                 continue
-            d, tf, dl = decode_blocks(payload, n, block_offset, kept, prev_lasts)
+            parts.append((payload, n, block_offset, kept, prev_lasts))
+        if parts:
+            d, tf, dl = decode_blocks_many(parts)
             tfv = tf.astype(np.float64)
-            term_parts_c.append(
-                idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-            )
-            term_parts_d.append(d)
-        if term_parts_d:
-            # salt rows are sorted by doc range, so concatenation is sorted
-            nd = np.concatenate(term_parts_d)
-            nc = np.concatenate(term_parts_c)
-            all_docs = np.concatenate([acc_docs, nd])
-            all_scores = np.concatenate([acc_scores, nc])
-            order2 = np.argsort(all_docs, kind="mergesort")
-            sd = all_docs[order2]
-            ss = all_scores[order2]
-            boundaries = np.empty(sd.size, dtype=bool)
-            boundaries[0] = True
-            boundaries[1:] = sd[1:] != sd[:-1]
-            starts = np.flatnonzero(boundaries)
-            acc_docs = sd[starts]
-            acc_scores = np.add.reduceat(ss, starts)
-        if acc_docs.size >= k:
-            theta = np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k]
+            nc = idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+            scores[d] += nc  # unique indices within a term: exact, vectorized
+            n_touched += d.size  # upper bound on distinct touched docs
+        if n_touched >= k:
+            touched_vals = scores[scores > 0]
+            if touched_vals.size >= k:
+                theta = np.partition(
+                    touched_vals, touched_vals.size - k
+                )[touched_vals.size - k]
 
-    if acc_docs.size == 0:
-        return acc_docs, acc_scores
-    sel = np.lexsort((acc_docs, -acc_scores))[: min(k, acc_docs.size)]
-    return acc_docs[sel], acc_scores[sel]
+    sel = _dense_topk(scores, k)
+    return sel, scores[sel]
 
 
 def topk_slice_batch(
