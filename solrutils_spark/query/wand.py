@@ -310,36 +310,38 @@ def topk_slice_batch(
         decoded[row.term] = (d, tfn)
         dfp[row.term] = int(row.df_part)
 
+    # dense per-query accumulator over the slice's doc range (round 4): a
+    # base-shifted float64 array replaces the per-term argsort-mergesort
+    # merge; adds land in the same term order → identical floats. The span
+    # is one salt slice (~n_docs/num_salts), so the array is small and the
+    # per-query alloc trivial next to the shared decode above.
+    base = hi = None
+    for d, _tfn in decoded.values():
+        if d.size:
+            base = int(d[0]) if base is None else min(base, int(d[0]))
+            hi = int(d[-1]) if hi is None else max(hi, int(d[-1]))
     out = []
+    if base is None:
+        return out
+    span = hi - base + 1
     for qid, idf_by_term, k in plans:
         terms = sorted(
             (t for t in idf_by_term if t in decoded), key=lambda t: (dfp[t], t)
         )
         if not terms:
             continue
-        acc_docs = np.empty(0, dtype=np.int64)
-        acc_scores = np.empty(0, dtype=np.float64)
+        scores = np.zeros(span, dtype=np.float64)
+        touched = 0
         for t in terms:
             d, tfn = decoded[t]
             if d.size == 0:
                 continue
-            nc = idf_by_term[t] * tfn
-            all_docs = np.concatenate([acc_docs, d])
-            all_scores = np.concatenate([acc_scores, nc])
-            order2 = np.argsort(all_docs, kind="mergesort")
-            sd = all_docs[order2]
-            ss = all_scores[order2]
-            boundaries = np.empty(sd.size, dtype=bool)
-            boundaries[0] = True
-            boundaries[1:] = sd[1:] != sd[:-1]
-            starts = np.flatnonzero(boundaries)
-            acc_docs = sd[starts]
-            acc_scores = np.add.reduceat(ss, starts)
-        if acc_docs.size == 0:
+            scores[d - base] += idf_by_term[t] * tfn  # unique per term: exact
+            touched += d.size
+        if touched == 0:
             continue
-        take = min(k, acc_docs.size)
-        sel = np.lexsort((acc_docs, -acc_scores))[:take]
-        out.append((qid, acc_docs[sel], acc_scores[sel]))
+        sel = _dense_topk(scores, k)
+        out.append((qid, sel + base, scores[sel]))
     return out
 
 
@@ -380,8 +382,22 @@ def topk_slice(
     ubs = np.asarray(ubs, dtype=np.float64)
     remaining_after = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]]) if len(ubs) else ubs
 
-    acc_docs = np.empty(0, dtype=np.int64)
-    acc_scores = np.empty(0, dtype=np.float64)
+    # DENSE accumulator over the slice's doc range (round 4, same rationale
+    # as topk_rows): base-shifted float64 array replaces the per-term
+    # argsort-mergesort merge; adds land in the same term order → floats
+    # identical to the sorted-merge accumulator
+    base = hi = None
+    for row in rows.itertuples(index=False):
+        bl = row.block_last
+        if len(bl):
+            fd = int(row.first_doc)
+            last = int(bl[-1] if isinstance(bl, np.ndarray) else bl[len(bl) - 1])
+            base = fd if base is None else min(base, fd)
+            hi = last if hi is None else max(hi, last)
+    if base is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    scores = np.zeros(hi - base + 1, dtype=np.float64)
+    n_touched = 0
     theta = -np.inf
 
     for t_idx, row in enumerate(rows.itertuples(index=False)):
@@ -400,10 +416,10 @@ def topk_slice(
                 np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl
             )
             # range-max of acc inside each block's (prev_last, last] doc range
-            left = np.searchsorted(acc_docs, prev_lasts, side="right")
-            right = np.searchsorted(acc_docs, block_last, side="right")
-            max_acc = _range_max(acc_scores, left, right)
-            keep = np.maximum(max_acc, 0.0) + block_ub + remaining_after[t_idx] >= theta
+            max_acc = _range_max(
+                scores, np.maximum(prev_lasts + 1 - base, 0), block_last + 1 - base
+            )
+            keep = max_acc + block_ub + remaining_after[t_idx] >= theta
         else:
             keep = np.ones(n_blocks, dtype=bool)
 
@@ -420,25 +436,14 @@ def topk_slice(
             if nd.size == 0:
                 continue
 
-        # stable sorted merge: acc first so a doc's running sum accumulates in
-        # fixed (processing) order — deterministic floats
-        all_docs = np.concatenate([acc_docs, nd])
-        all_scores = np.concatenate([acc_scores, nc])
-        order2 = np.argsort(all_docs, kind="mergesort")
-        sd = all_docs[order2]
-        ss = all_scores[order2]
-        boundaries = np.empty(sd.size, dtype=bool)
-        boundaries[0] = True
-        boundaries[1:] = sd[1:] != sd[:-1]
-        starts = np.flatnonzero(boundaries)
-        acc_docs = sd[starts]
-        acc_scores = np.add.reduceat(ss, starts)
+        scores[nd - base] += nc  # unique indices within a term: exact
+        n_touched += nd.size
+        if n_touched >= k:
+            touched_vals = scores[scores > 0]
+            if touched_vals.size >= k:
+                theta = np.partition(
+                    touched_vals, touched_vals.size - k
+                )[touched_vals.size - k]
 
-        if acc_docs.size >= k:
-            theta = np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k]
-
-    if acc_docs.size == 0:
-        return acc_docs, acc_scores
-    take = min(k, acc_docs.size)
-    sel = np.lexsort((acc_docs, -acc_scores))[:take]
-    return acc_docs[sel], acc_scores[sel]
+    sel = _dense_topk(scores, k)
+    return sel + base, scores[sel]
