@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 # --- frozen stopword set (enumerated, never extended silently) --------------
@@ -67,18 +68,92 @@ def analyze(text: str | None) -> list[str]:
     return [t for t in _TOKEN_RE.findall(spaced.lower()) if t not in STOPWORDS]
 
 
-def analyze_series(texts: pd.Series) -> pd.Series:
-    """Vectorized analyzer over a pandas Series of strings → Series of lists.
-
-    Runs inside pandas_udf/mapInPandas on Arrow batches. The regex passes are
-    pandas ``.str`` ops (C-level row loop, compiled regex); only the final
-    stopword filter is a per-row list comprehension over already-tokenized
-    lists, which is unavoidable and cheap (set lookups). (Measured dead end:
-    NUL-joining the batch for one giant re.sub is NOT faster — the regex scan
-    is byte-bound, so batching only adds join/split overhead.)
-    """
-    s = texts.fillna("")
+def _analyze_series_regex(s: pd.Series) -> pd.Series:
+    """The original regex path (kept verbatim as the non-ASCII fallback —
+    unicode ``.lower()`` can expand characters, e.g. İ → i + combining dot,
+    which the byte-class path below cannot reproduce)."""
     spaced = s.str.replace(_CAMEL_BOUNDARY, " ", regex=True)
     toks = spaced.str.lower().str.findall(_TOKEN_RE)
     stop = STOPWORDS
     return toks.map(lambda ts: [t for t in ts if t not in stop])
+
+
+def _analyze_ascii_batch(texts: list) -> list:
+    """Regex-free analyzer for ASCII texts: one numpy pass over the whole
+    batch's bytes computes character classes and boundary masks; tokens are
+    sliced from a single lowercased string. Byte-identical to the regex path
+    on ASCII input (pinned by test_analyzer fuzz) and ~3x faster — the
+    camel-boundary ``re.sub`` was ~40% of the whole segment kernel.
+    """
+    big = "\x00" + "\x00".join(texts) + "\x00"
+    arr = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+    n = arr.size
+    lower = (arr >= 97) & (arr <= 122)
+    upper = (arr >= 65) & (arr <= 90)
+    digit = (arr >= 48) & (arr <= 57)
+    letter = lower | upper
+    tok = letter | digit
+    # camel/digit boundaries BETWEEN i-1 and i (the three frozen rules)
+    b = np.zeros(n, dtype=bool)
+    b[1:] = (lower[:-1] & upper[1:]) | (letter[:-1] & digit[1:])
+    b[1:-1] |= upper[:-2] & upper[1:-1] & lower[2:]
+    prev_tok = np.empty(n, dtype=bool)
+    prev_tok[0] = False
+    prev_tok[1:] = tok[:-1]
+    nxt_tok = np.empty(n, dtype=bool)
+    nxt_tok[-1] = False
+    nxt_tok[:-1] = tok[1:]
+    nxt_b = np.empty(n, dtype=bool)
+    nxt_b[-1] = False
+    nxt_b[:-1] = b[1:]
+    starts = np.flatnonzero(tok & (~prev_tok | b))
+    ends = np.flatnonzero(tok & (~nxt_tok | nxt_b)) + 1
+    keep = (ends - starts) >= 2  # min-length filter (step 5)
+    starts, ends = starts[keep], ends[keep]
+    low_big = big.lower()  # ASCII lower: one C pass, offsets unchanged
+    # distribute tokens to their document by separator position
+    sep_pos = np.flatnonzero(arr == 0)
+    doc_bounds = np.searchsorted(starts, sep_pos)
+    stop = STOPWORDS
+    sl, el = starts.tolist(), ends.tolist()
+    return [
+        [
+            t
+            for j in range(doc_bounds[d], doc_bounds[d + 1])
+            if (t := low_big[sl[j]:el[j]]) not in stop
+        ]
+        for d in range(len(texts))
+    ]
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized analyzer over a pandas Series of strings → Series of lists.
+
+    Runs inside pandas_udf/mapInPandas on Arrow batches. ASCII rows (all of
+    a source-code corpus in practice) take the numpy byte-class path — no
+    regex at all; rows containing non-ASCII take the original regex path so
+    unicode ``.lower()`` semantics stay exact. Both produce identical tokens
+    on ASCII input (pinned by tests). (Measured dead ends: NUL-joining the
+    batch for one giant ``re.sub`` is NOT faster — the regex scan itself is
+    the cost; the byte-class path removes the regex instead.)
+    """
+    s = texts.fillna("")
+    vals = s.tolist()
+    # NUL is the batch separator below, so a text CONTAINING NUL must take
+    # the fallback (it would shift every later doc's boundary); the regex
+    # path treats NUL as an ordinary separator char — same tokens.
+    ascii_mask = [t.isascii() and "\x00" not in t for t in vals]
+    if all(ascii_mask):
+        return pd.Series(_analyze_ascii_batch(vals), index=s.index)
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    asc = [i for i, a in enumerate(ascii_mask) if a]
+    non = [i for i, a in enumerate(ascii_mask) if not a]
+    if asc:
+        res = _analyze_ascii_batch([vals[i] for i in asc])
+        for i, r in zip(asc, res):
+            out.iloc[i] = r
+    if non:
+        res = _analyze_series_regex(s.iloc[non])
+        for i, r in zip(non, res):
+            out.iloc[i] = r
+    return out

@@ -58,3 +58,36 @@ def test_stopword_set_frozen():
     assert len(STOPWORDS) == 51
     assert {"the", "def", "self", "return", "pub"} <= STOPWORDS
     assert "function" not in STOPWORDS
+
+
+def test_ascii_fast_path_equals_regex_fuzz():
+    """Round-4: the numpy byte-class batch analyzer must be byte-identical
+    to both the regex series path and the pure-Python oracle on adversarial
+    ASCII (and route unicode/NUL rows to the regex fallback)."""
+    import random
+
+    import pandas as pd
+
+    from solrutils_spark.functions.analyzer import (
+        _analyze_series_regex, analyze, analyze_series)
+
+    rng = random.Random(424242)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "_-. ()/{}\t\n!@#"
+    )
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+             for _ in range(400)]
+    texts += [
+        "", "HTTPServer2x", "XMLHttpRequest", "__init__", "a" * 500,
+        "Ab" * 40, "x2y3Z4", "ABC", "aB", "A1b2C3", "snake_case_two",
+        "2Xy 2XyZ zz", "UPPER lower Mixed",
+        "nul\x00separated\x00text", "naïve café İstanbul Ümit",
+        "mixed ASCII and ünïcode CamelCase2x",
+    ]
+    s = pd.Series(texts)
+    fast = list(analyze_series(s))
+    slow = list(_analyze_series_regex(s.fillna("")))
+    oracle = [analyze(t) for t in texts]
+    for t, f, sl, o in zip(texts, fast, slow, oracle):
+        assert f == sl == o, repr(t)
