@@ -21,6 +21,7 @@ supported instructions
     xsl:key name/match/use + key('name', arg)[/steps] in select paths
     xsl:variable (top-level globals + template-local; select= or
                                         text-only content, $name refs)
+    xsl:number [level=single|any] [count=pattern] (format="1" only)
     xsl:value-of select=path|position()|last()|$param
     xsl:copy-of select=path            (deep copy of selected nodes/values)
     xsl:if test="path" | "path='lit'" | "not(...)" | "position()=N"
@@ -329,10 +330,16 @@ class MiniXSLT:
         doc.append(src)
         self._ancestors: dict[int, list[str]] = {}
 
+        self._parent: dict[int, ET.Element] = {}
+        self._doc_order: list[ET.Element] = []
+
         def record(e: ET.Element, path: list[str]) -> None:
             self._ancestors[id(e)] = path
+            self._doc_order.append(e)
             for c in e:
-                record(c, path + [_strip_ns(e.tag)])
+                if isinstance(c.tag, str):
+                    self._parent[id(c)] = e
+                    record(c, path + [_strip_ns(e.tag)])
 
         record(src, [])
         # xsl:key tables: one doc-order walk per key definition, built once
@@ -369,7 +376,9 @@ class MiniXSLT:
 
     def _apply_to_children(self, ctx: _Ctx, root: ET.Element, out: ET.Element,
                            mode: str | None = None):
-        kids = list(ctx.node)
+        # comments/PIs (non-str tag) are skipped: the built-in rule for them
+        # is "emit nothing", and they carry no name to match templates on
+        kids = [c for c in ctx.node if isinstance(c.tag, str)]
         for i, child in enumerate(kids, 1):
             self._apply_one(ctx.at(child, i, len(kids)), root, out, mode)
 
@@ -448,6 +457,49 @@ class MiniXSLT:
         # its leading xsl:param defaults fill unbound names (handled in body)
         self._run_body(tmpl, ctx.with_env(env), root, out)
 
+    def _number(self, node: ET.Element, ctx: _Ctx, out: ET.Element) -> None:
+        """xsl:number subset: level="single"|"any", count=pattern (default:
+        same name as the current node), format="1". from=, other formats and
+        level="multiple" stay behind the loud gate."""
+        if node.get("from") is not None:
+            raise UnsupportedXsltError("xsl:number from= not supported")
+        if node.get("format", "1") != "1":
+            raise UnsupportedXsltError("only xsl:number format='1' supported")
+        level = node.get("level", "single")
+        if level not in ("single", "any"):
+            raise UnsupportedXsltError(f"xsl:number level={level!r} not supported")
+        if node.get("value") is not None:
+            raise UnsupportedXsltError("xsl:number value= not supported")
+        cur = ctx.node
+        if not isinstance(cur, ET.Element) or not isinstance(cur.tag, str):
+            raise UnsupportedXsltError("xsl:number outside an element context")
+        count_pat = node.get("count")
+        if count_pat is None:
+            name = _strip_ns(cur.tag)
+            matches = lambda e: _strip_ns(e.tag) == name  # noqa: E731
+        else:
+            matches = lambda e: self._matches_pattern(e, count_pat)  # noqa: E731
+        if level == "single":
+            target = cur
+            while target is not None and not matches(target):
+                target = self._parent.get(id(target))
+            if target is None:
+                return  # empty count list → empty string (XSLT 1.0 §7.7)
+            parent = self._parent.get(id(target))
+            if parent is None:
+                self._append_text(out, "1")
+                return
+            sibs = [c for c in parent if isinstance(c.tag, str) and matches(c)]
+            self._append_text(out, str(1 + sibs.index(target)))
+        else:  # any: matching nodes at or before cur in document order
+            n = 0
+            for e in self._doc_order:
+                if matches(e):
+                    n += 1
+                if e is cur:
+                    break
+            self._append_text(out, str(n) if n else "")
+
     def _run_body(self, body: ET.Element, ctx: _Ctx, root: ET.Element,
                   out: ET.Element) -> None:
         for node in body:
@@ -499,7 +551,7 @@ class MiniXSLT:
                 targets = (
                     self._select(ctx, sel, root)
                     if sel is not None
-                    else list(ctx.node)
+                    else [c for c in ctx.node if isinstance(c.tag, str)]
                 )
                 targets = self._sorted(targets, self._sort_spec(node), ctx, root)
                 for i, t in enumerate(targets, 1):
@@ -508,6 +560,8 @@ class MiniXSLT:
                     self._apply_one(ctx.at(t, i, len(targets)), root, out, mode)
             elif tag == f"{_X}call-template":
                 self._call_template(node, ctx, root, out)
+            elif tag == f"{_X}number":
+                self._number(node, ctx, out)
             elif tag == f"{_X}if":
                 if self._test(ctx, node.get("test", ""), root):
                     self._run_body(node, ctx, root, out)

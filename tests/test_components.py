@@ -351,7 +351,7 @@ def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 
     bad = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:number level="any"/></xsl:template>
+      <xsl:template match="/"><xsl:number format="i" level="multiple"/></xsl:template>
     </xsl:stylesheet>"""
     import pytest
 
@@ -684,3 +684,45 @@ def test_xslt_variables():
     </xsl:stylesheet>"""
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(leak)('<cfg><name>alpha</name></cfg>')
+
+
+def test_xslt_number():
+    """Round-4 xsl:number subset: level=single (sibling position among
+    matching sibs, walking up to the nearest counted ancestor), level=any
+    (doc-order count), count= patterns, comments skipped by built-ins."""
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <out><xsl:apply-templates select="book/chapter/section"/></out>
+      </xsl:template>
+      <xsl:template match="section">
+        <s ch="{../@n}">
+          <xsl:number count="chapter"/>.<xsl:number/>
+          <xsl:text> any=</xsl:text><xsl:number level="any"/>
+        </s>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    # note: no parent axis in select paths — count=chapter walks ancestors
+    sheet = sheet.replace(' ch="{../@n}"', "")
+    xml = """<book>
+      <!-- a comment the built-in rules must skip -->
+      <chapter><section>a</section><section>b</section></chapter>
+      <chapter><section>c</section></chapter>
+    </book>"""
+    out = MiniXSLT(sheet)(xml)
+    import xml.etree.ElementTree as ET
+
+    got = [s.text + (s[0].tail or "") if len(s) else s.text
+           for s in ET.fromstring(out).findall("s")]
+    flat = ["".join(x.split()) for x in got]
+    assert flat == ["1.1any=1", "1.2any=2", "2.1any=3"]
+
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT("""<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><xsl:number format="a"/></xsl:template>
+        </xsl:stylesheet>""")("<a/>")
