@@ -194,3 +194,49 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_decode_blocks_many_equals_per_row():
+    """Round-4: the grouped multi-row decoder (incl. its cache-budget
+    chunking and contiguous-run slice fast path) must equal per-row
+    decode_blocks concatenation on random rows with random block subsets."""
+    import random
+
+    from solrutils_spark.index.codec import (
+        _DECODE_CHUNK_DOCS, decode_blocks, decode_blocks_many)
+
+    rng = random.Random(777)
+    parts, want_d, want_t, want_l = [], [], [], []
+    base_doc = 0
+    # enough rows to force multiple chunk groups through the 16k-doc budget
+    for _ in range(40):
+        size = rng.choice([1, 3, 127, 128, 129, 500, 2048, 4096])
+        d, t, l = _random_postings(size, base_doc + 1)
+        base_doc = int(d[-1]) + rng.randint(1, 50)
+        enc = encode_postings(d, t, l)
+        payload = np.frombuffer(enc.payload.tobytes(), dtype=np.uint8)
+        nb = len(enc.block_offset)
+        mode = rng.randrange(3)
+        if mode == 0:
+            sel = np.arange(nb)  # full contiguous (slice fast path)
+        elif mode == 1 and nb > 1:
+            a = rng.randrange(nb)
+            b = rng.randrange(a, nb)
+            sel = np.arange(a, b + 1)  # partial contiguous
+        else:
+            sel = np.flatnonzero([rng.random() < 0.6 for _ in range(nb)])
+            if sel.size == 0:
+                sel = np.array([0])
+        prev_lasts = np.empty(nb, dtype=np.int64)
+        prev_lasts[0] = int(d[0]) - 1
+        prev_lasts[1:] = np.asarray(enc.block_last[:-1], dtype=np.int64)
+        args = (payload, size, np.asarray(enc.block_offset, dtype=np.int32),
+                sel, prev_lasts)
+        parts.append(args)
+        rd, rt, rl = decode_blocks(*args)
+        want_d.append(rd); want_t.append(rt); want_l.append(rl)
+    got_d, got_t, got_l = decode_blocks_many(parts)
+    assert sum(len(x) for x in want_d) > _DECODE_CHUNK_DOCS  # chunking engaged
+    np.testing.assert_array_equal(got_d, np.concatenate(want_d))
+    np.testing.assert_array_equal(got_t, np.concatenate(want_t))
+    np.testing.assert_array_equal(got_l, np.concatenate(want_l))

@@ -572,3 +572,28 @@ def test_png_roundtrip_and_variants():
                   + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         decode_image(interlaced)
+
+
+def test_ivf_probe_is_partition_pruning(spark, tmp_path):
+    """The 100 TB claim for IVF (BENCH/ANN_PROBE.json) rests on the probe
+    filter becoming PARTITION pruning when the table is written
+    partitionBy(centroid_id) — pin the plan shape, not just the wall."""
+    import numpy as np
+
+    from solrutils_spark.operators.similarity import (
+        assign_centroids, ivf_topk, train_centroids)
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (rng.standard_normal(8) + (i % 4) * 3).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids(df, n_centroids=4, sample=200)
+    out = str(tmp_path / "ivf.parquet")
+    assign_centroids(df, cents).write.partitionBy("centroid_id").parquet(out)
+    tbl = spark.read.parquet(out)
+    plan = ivf_topk(tbl, cents, rows[0][1], k=5, n_probe=1)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid_id" in m.group(1), plan[:2000]
+    # and the probe actually restricts: n_probe=1 of 4 cells
+    got = ivf_topk(tbl, cents, rows[0][1], k=5, n_probe=1).collect()
+    assert 0 < len(got) <= 5
