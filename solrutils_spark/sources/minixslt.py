@@ -22,6 +22,9 @@ supported instructions
     xsl:variable (top-level globals + template-local; select= or
                                         text-only content, $name refs)
     xsl:number [level=single|any] [count=pattern] (format="1" only)
+    xsl:include / xsl:import via a resolver= callback (import = lower
+                                        precedence, XSLT 1.0 §2.6)
+    'string literals' in select= expressions
     xsl:value-of select=path|position()|last()|$param
     xsl:copy-of select=path            (deep copy of selected nodes/values)
     xsl:if test="path" | "path='lit'" | "not(...)" | "position()=N"
@@ -96,24 +99,50 @@ class _Ctx:
 class MiniXSLT:
     """Compile once, apply many (the Templates-cache shape, :63-66)."""
 
-    def __init__(self, xslt_source: str):
-        sheet = ET.fromstring(xslt_source)
-        if sheet.tag not in (f"{_X}stylesheet", f"{_X}transform"):
-            raise UnsupportedXsltError(f"not a stylesheet root: {sheet.tag}")
+    def __init__(self, xslt_source: str,
+                 resolver: "Callable[[str], str] | None" = None):
+        """``resolver``: optional ``href → stylesheet-source`` callback
+        enabling ``xsl:include`` (same precedence) and ``xsl:import``
+        (lower precedence: imported match-templates fire only when no
+        including-sheet template matches — XSLT 1.0 §2.6). Without a
+        resolver those instructions raise, as before."""
         self.templates: list[tuple[str, str | None, ET.Element]] = []
+        self.imported: list[tuple[str, str | None, ET.Element]] = []
         self.named: dict[str, ET.Element] = {}
         self.key_defs: list[tuple[str, str, str]] = []  # (name, match, use)
         self.global_vars: list[ET.Element] = []  # top-level xsl:variable
+        self._resolver = resolver
+        self._compile(xslt_source, imported=False, seen=set())
+        # longer (more specific) match patterns first, stable otherwise
+        self.templates.sort(key=lambda t: -len(t[0].split("/")))
+        self.imported.sort(key=lambda t: -len(t[0].split("/")))
+
+    def _compile(self, xslt_source: str, imported: bool, seen: set) -> None:
+        sheet = ET.fromstring(xslt_source)
+        if sheet.tag not in (f"{_X}stylesheet", f"{_X}transform"):
+            raise UnsupportedXsltError(f"not a stylesheet root: {sheet.tag}")
+        dest = self.imported if imported else self.templates
         for child in sheet:
             tag = child.tag
-            if tag == f"{_X}template":
+            if tag in (f"{_X}include", f"{_X}import"):
+                href = child.get("href", "")
+                if self._resolver is None:
+                    raise UnsupportedXsltError(
+                        f"{tag} requires a resolver= callback (href={href!r})")
+                if href in seen:
+                    raise UnsupportedXsltError(f"circular include/import: {href!r}")
+                self._compile(self._resolver(href),
+                              imported=imported or tag == f"{_X}import",
+                              seen=seen | {href})
+            elif tag == f"{_X}template":
                 match = child.get("match")
                 name = child.get("name")
                 mode = child.get("mode")
                 if name is not None:
-                    self.named[name] = child
+                    # first definition wins (importing sheet compiles first)
+                    self.named.setdefault(name, child)
                 if match is not None:
-                    self.templates.append((match, mode, child))
+                    dest.append((match, mode, child))
                 if match is None and name is None:
                     raise UnsupportedXsltError("template needs match= or name=")
             elif tag == f"{_X}key":
@@ -136,8 +165,6 @@ class MiniXSLT:
                 continue
             else:
                 raise UnsupportedXsltError(f"top-level {tag} not supported")
-        # longer (more specific) match patterns first, stable otherwise
-        self.templates.sort(key=lambda t: -len(t[0].split("/")))
 
     # -- path evaluation -------------------------------------------------------
     def _select(self, ctx: _Ctx, path: str, root: ET.Element) -> list:
@@ -149,6 +176,8 @@ class MiniXSLT:
             return [ctx.pos]
         if path == "last()":
             return [ctx.last]
+        if len(path) >= 2 and path[0] == path[-1] and path[0] in "'\"":
+            return [path[1:-1]]  # XPath string literal (select="'x'")
         if path.startswith("$"):
             name = path[1:]
             if "/" in name or "[" in name:
@@ -312,15 +341,18 @@ class MiniXSLT:
     def _find_template(
         self, elem: ET.Element, root: ET.Element, mode: str | None = None
     ) -> ET.Element | None:
-        for match, tmode, tmpl in self.templates:
-            if tmode != mode:
-                continue
-            if match == "/":
-                if elem is root and getattr(self, "_root_phase", False):
+        # main-sheet (+ included) templates first; xsl:import'ed ones fire
+        # only when nothing in the importing sheet matches (XSLT §2.6/§5.5)
+        for group in (self.templates, self.imported):
+            for match, tmode, tmpl in group:
+                if tmode != mode:
+                    continue
+                if match == "/":
+                    if elem is root and getattr(self, "_root_phase", False):
+                        return tmpl
+                    continue
+                if self._matches_pattern(elem, match):
                     return tmpl
-                continue
-            if self._matches_pattern(elem, match):
-                return tmpl
         return None
 
     # -- application ---------------------------------------------------------

@@ -70,7 +70,10 @@ def read_xml_files(
     return rdd_like.select("path", "content").mapInPandas(gen, "path string, xml string")
 
 
-def make_xslt_transform(xslt_source: str) -> Callable[[str], str]:
+def make_xslt_transform(
+    xslt_source: str,
+    resolver: Callable[[str], str] | None = None,
+) -> Callable[[str], str]:
     """Compile XSLT once (Templates-cache semantics, XsltUpdateHandler.java:
     114-136) → per-doc transform fn.
 
@@ -79,11 +82,23 @@ def make_xslt_transform(xslt_source: str) -> Callable[[str], str]:
     (covers the map-XML-to-Solr-doc stylesheets this handler exists for;
     unsupported constructs raise ``UnsupportedXsltError`` loudly rather than
     producing a silently wrong document).
+
+    ``resolver``: optional ``href → stylesheet-source`` callback serving
+    ``xsl:include`` / ``xsl:import`` (the JAXP handler resolves hrefs from
+    the config dir; on a cluster, hrefs typically come from a dict shipped
+    with the job). Without it, those instructions raise loudly.
     """
     try:
         from lxml import etree  # noqa: PLC0415
 
-        transform = etree.XSLT(etree.fromstring(xslt_source.encode()))
+        parser = etree.XMLParser()
+        if resolver is not None:
+            class _R(etree.Resolver):
+                def resolve(self, url, pubid, context):  # noqa: ANN001
+                    return self.resolve_string(resolver(url), context)
+
+            parser.resolvers.add(_R())
+        transform = etree.XSLT(etree.fromstring(xslt_source.encode(), parser))
 
         def apply(xml: str) -> str:
             return str(transform(etree.fromstring(xml.encode())))
@@ -92,7 +107,7 @@ def make_xslt_transform(xslt_source: str) -> Callable[[str], str]:
     except ImportError:  # container has no lxml → subset interpreter
         from solrutils_spark.sources.minixslt import MiniXSLT
 
-        return MiniXSLT(xslt_source)
+        return MiniXSLT(xslt_source, resolver=resolver)
 
 
 def transform_xml(

@@ -726,3 +726,57 @@ def test_xslt_number():
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
           <xsl:template match="/"><xsl:number format="a"/></xsl:template>
         </xsl:stylesheet>""")("<a/>")
+
+
+def test_xslt_include_import_with_resolver():
+    """Round-4: xsl:include (same precedence) and xsl:import (lower
+    precedence — importing sheet's templates win) via a resolver callback;
+    named templates/keys merge; circular includes raise."""
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    lib = {
+        "fields.xsl": """<xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template name="emit"><xsl:param name="v"/>
+            <field><xsl:value-of select="$v"/></field></xsl:template>
+          <xsl:template match="b"><inc-b/></xsl:template>
+        </xsl:stylesheet>""",
+        "base.xsl": """<xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="a"><imported-a/></xsl:template>
+          <xsl:template match="c"><imported-c/></xsl:template>
+        </xsl:stylesheet>""",
+        "loop.xsl": """<xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:include href="loop.xsl"/>
+        </xsl:stylesheet>""",
+    }
+    main = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:import href="base.xsl"/>
+      <xsl:include href="fields.xsl"/>
+      <xsl:template match="/"><r><xsl:apply-templates select="d/*"/>
+        <xsl:call-template name="emit">
+          <xsl:with-param name="v" select="'x'"/>
+        </xsl:call-template></r></xsl:template>
+      <xsl:template match="a"><main-a/></xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXSLT(main, resolver=lib.__getitem__)("<d><a/><b/><c/></d>")
+    # main's <a> beats imported <a>; included <b> is same-precedence;
+    # imported <c> fires because nothing in main/included matches c
+    assert "<main-a />" in out and "<imported-a" not in out
+    assert "<inc-b />" in out
+    assert "<imported-c />" in out
+    assert "<field>x</field>" in out
+
+    with pytest.raises(UnsupportedXsltError, match="circular"):
+        MiniXSLT('<xsl:stylesheet version="1.0" '
+                 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+                 '<xsl:include href="loop.xsl"/></xsl:stylesheet>',
+                 resolver=lib.__getitem__)
+    with pytest.raises(UnsupportedXsltError, match="resolver"):
+        MiniXSLT('<xsl:stylesheet version="1.0" '
+                 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+                 '<xsl:include href="fields.xsl"/></xsl:stylesheet>')
