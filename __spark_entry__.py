@@ -460,19 +460,36 @@ def q_ann_cosine(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     """IVF centroid-probe ANN over the embeddings table — the 100 TB scale
     path (BENCH/ANN_PROBE.json: 5.1x over brute at recall@10=1.0 with
-    n_probe=4/64 at 1M vectors). Approximate by construction (recall
-    depends on the probe budget), so no SQL oracle — the driver records the
-    rows-only check; exactness of the brute baseline is pinned by
-    entry:ann_cosine and the IVF/brute agreement by pytest + the bench."""
+    n_probe=4/64 at 1M vectors).
+
+    Oracle-exact by construction here: the entry probes ALL 8 centroids
+    (n_probe = n_centroids), so the candidate set is the full table and the
+    result provably equals brute-force cosine top-k — the same DuckDB oracle
+    as entry:ann_cosine applies verbatim. The PRUNED path (n_probe=4) stays
+    exercised by pytest (test_ann_ivf_entry_pruned_path_identical pins
+    n_probe=4 == n_probe=8 on this data) and by bench_ann.py at 1M vectors.
+    Centroid training is seeded AND the sample is orderBy(vec_id)-pinned —
+    limit() without ordering is not deterministic across partitionings."""
     from solrutils_spark.operators.similarity import (
         assign_centroids, ivf_topk, train_centroids)
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    cents = train_centroids(e, n_centroids=8, sample=2_000)
+    cents = train_centroids(e, n_centroids=8, sample=2_000, order_col="vec_id")
     assigned = assign_centroids(e, cents)
-    out = ivf_topk(assigned, cents, qvec, k=ANN_K, n_probe=4)
-    return out.select("vec_id", F.round(F.col("cosine"), 4).alias("cosine"))
+    # over-fetch then re-rank on round-6 cosine (the oracle's tie policy,
+    # same as entry:ann_cosine) so a round-6 tie at the k boundary can't
+    # order differently than DuckDB
+    out = ivf_topk(assigned, cents, qvec, k=3 * ANN_K, n_probe=8)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+    return (
+        out.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("vec_id", F.round(F.col("cosine_r6"), 4).alias("cosine"), "rank")
+    )
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -556,9 +573,10 @@ def q_spellcheck(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
     )
     q = "vectr"
+    # ±2 length band = the max_distance edit budget (recall-lossless prune)
     return (
         vocab.filter(
-            (F.length("term") >= len(q) - 1) & (F.length("term") <= len(q) + 1)
+            (F.length("term") >= len(q) - 2) & (F.length("term") <= len(q) + 2)
             & F.col("term").startswith(q[0])
         )
         .withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)))
@@ -785,6 +803,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cosine, 4) AS cosine, rank FROM ranked WHERE rank <= {ANN_K}
         """,
+        # ann_ivf probes ALL centroids (n_probe = n_centroids) ⇒ candidate
+        # set = full table ⇒ provably identical to brute cosine top-k: the
+        # ann_cosine oracle applies verbatim. The pruned n_probe<ALL path is
+        # pinned equal by pytest on this data.
+        "ann_ivf": f"""
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                  (SELECT qv FROM q)), 6) AS cosine
+              FROM embeddings
+            ), ranked AS (
+              SELECT vec_id, cosine,
+                     row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT vec_id, round(cosine, 4) AS cosine, rank FROM ranked WHERE rank <= {ANN_K}
+        """,
         "spellcheck": """
             WITH vocab AS (
               SELECT term, count(*) AS freq FROM (
@@ -794,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term AS suggestion, freq, levenshtein(term, 'vectr') AS distance
             FROM vocab
-            WHERE length(term) BETWEEN 4 AND 6 AND term LIKE 'v%'
+            WHERE length(term) BETWEEN 3 AND 7 AND term LIKE 'v%'
               AND levenshtein(term, 'vectr') BETWEEN 1 AND 2
             ORDER BY distance ASC, freq DESC, term ASC LIMIT 5
         """,

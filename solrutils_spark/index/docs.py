@@ -83,6 +83,8 @@ def assign_doc_ids(
     ranks (non-dense or colliding ids). Persisting inside the function makes
     the determinism contract unconditional; pass ``cache_registry`` (as
     ``build_docs`` does) to unpersist once the result is materialized.
+    Without a registry the keys are eagerly ``localCheckpoint``-ed instead —
+    same determinism, no session-lifetime CacheManager entry to leak.
     """
     if num_partitions is None:
         num_partitions = _ID_BUCKETS
@@ -90,9 +92,16 @@ def assign_doc_ids(
     from pyspark import StorageLevel
 
     bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(P)).cast("int")
-    tagged = corpus.withColumn("_bkt", bucket).persist(StorageLevel.MEMORY_AND_DISK)
     if cache_registry is not None:
+        tagged = corpus.withColumn("_bkt", bucket).persist(StorageLevel.MEMORY_AND_DISK)
         cache_registry.append(tagged)
+    else:
+        # no unpersist hook for direct callers: an eager localCheckpoint
+        # materializes the tagged keys (the determinism contract still holds
+        # unconditionally) WITHOUT a CacheManager entry that would outlive
+        # the caller — the blocks are freed by the ContextCleaner once the
+        # result goes out of scope, instead of leaking for the session
+        tagged = corpus.withColumn("_bkt", bucket).localCheckpoint(eager=True)
     counts = {
         r["_bkt"]: r["cnt"]
         for r in tagged.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()

@@ -54,13 +54,20 @@ def cosine_topk_brute(
 def train_centroids(
     df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     sample: int = 10_000, iters: int = 10, seed: int = 42,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """k-means on a seeded sample (driver-side numpy — centroids are tiny).
 
     Assignment uses the ‖x‖²+‖c‖²−2x·c expansion in row chunks, so memory is
     O(chunk × n_centroids) — never the (sample × centroids × dim) broadcast
-    tensor (at 4k centroids × 768 dims that tensor is ~60 GB)."""
-    rows = df.select(vec_col).limit(sample).collect()
+    tensor (at 4k centroids × 768 dims that tensor is ~60 GB).
+
+    ``order_col``: sort the sample by this column before ``limit`` — plain
+    ``limit(sample)`` is NOT deterministic across partitionings/runs, so any
+    caller that needs reproducible centroids (correctness entries, pinned
+    tests) must pass it."""
+    src = df.orderBy(order_col) if order_col is not None else df
+    rows = src.select(vec_col).limit(sample).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

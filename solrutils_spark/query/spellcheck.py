@@ -6,7 +6,7 @@ analytics (QueryStatsComponent.java:31). Solr's spellchecker suggests
 corrections from indexed terms ranked by document frequency; ours does the
 same over the ``termdf`` sidecar table:
 
-    suggest = vocab.filter(|len(term) - len(q)| ≤ 1 AND same first char*)
+    suggest = vocab.filter(|len(term) - len(q)| ≤ max_dist AND same first char*)
                    .withColumn(dist, levenshtein(term, q)).filter(dist ≤ max)
                    .orderBy(dist, df desc)
 
@@ -35,10 +35,16 @@ def suggest(
     limit: int = 5,
     same_first_char: bool = True,
 ) -> DataFrame:
-    """Correction candidates → (suggestion, df, distance), best first."""
+    """Correction candidates → (suggestion, df, distance), best first.
+
+    The length band is ±``max_distance`` — any term whose length differs by
+    more than the edit budget is provably > ``max_distance`` away, so the
+    band is recall-lossless for the distance filter below (a ±1 band would
+    silently drop valid distance-2 insert/delete-pair corrections)."""
     q = query_term.lower()
     cand = vocab.filter(
-        (F.length("term") >= len(q) - 1) & (F.length("term") <= len(q) + 1)
+        (F.length("term") >= len(q) - max_distance)
+        & (F.length("term") <= len(q) + max_distance)
     )
     if same_first_char and q:
         cand = cand.filter(F.col("term").startswith(q[0]))

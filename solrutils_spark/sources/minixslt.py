@@ -109,6 +109,7 @@ class MiniXSLT:
         self.templates: list[tuple[str, str | None, ET.Element]] = []
         self.imported: list[tuple[str, str | None, ET.Element]] = []
         self.named: dict[str, ET.Element] = {}
+        self._named_prec: dict[str, bool] = {}  # name → defined-by-import?
         self.key_defs: list[tuple[str, str, str]] = []  # (name, match, use)
         self.global_vars: list[ET.Element] = []  # top-level xsl:variable
         self._resolver = resolver
@@ -139,8 +140,18 @@ class MiniXSLT:
                 name = child.get("name")
                 mode = child.get("mode")
                 if name is not None:
-                    # first definition wins (importing sheet compiles first)
-                    self.named.setdefault(name, child)
+                    # precedence: non-imported (main sheet + xsl:include)
+                    # beats imported; duplicates at EQUAL precedence are an
+                    # XSLT 1.0 error — raise, per the loud-failure contract
+                    prev = self._named_prec.get(name)
+                    if prev is None or (prev and not imported):
+                        self.named[name] = child
+                        self._named_prec[name] = imported
+                    elif prev == imported:
+                        raise UnsupportedXsltError(
+                            f"duplicate named template at equal import "
+                            f"precedence: {name!r}")
+                    # else: prev is non-imported, new is imported — keep prev
                 if match is not None:
                     dest.append((match, mode, child))
                 if match is None and name is None:

@@ -780,3 +780,52 @@ def test_xslt_include_import_with_resolver():
         MiniXSLT('<xsl:stylesheet version="1.0" '
                  'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
                  '<xsl:include href="fields.xsl"/></xsl:stylesheet>')
+
+
+def test_xslt_named_template_precedence_and_duplicates():
+    """Round-5 (ADVICE): a main-sheet named template OVERRIDES an imported
+    one (xsl:import = lower precedence), while a duplicate name at EQUAL
+    precedence (main + xsl:include, or twice in one sheet) is an XSLT 1.0
+    error — raised loudly, never silently first-wins."""
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    lib = {
+        "base.xsl": """<xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template name="emit"><from-import/></xsl:template>
+        </xsl:stylesheet>""",
+        "inc.xsl": """<xsl:stylesheet version="1.0"
+            xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template name="emit"><from-include/></xsl:template>
+        </xsl:stylesheet>""",
+    }
+    # import first, then main defines the same name → main wins
+    main = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:import href="base.xsl"/>
+      <xsl:template match="/"><r><xsl:call-template name="emit"/></r></xsl:template>
+      <xsl:template name="emit"><from-main/></xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXSLT(main, resolver=lib.__getitem__)("<d/>")
+    assert "<from-main />" in out and "from-import" not in out
+
+    # include = SAME precedence → duplicate name is an error
+    dup_inc = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:include href="inc.xsl"/>
+      <xsl:template match="/"><r/></xsl:template>
+      <xsl:template name="emit"><from-main/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError, match="duplicate named"):
+        MiniXSLT(dup_inc, resolver=lib.__getitem__)
+
+    # twice in one sheet → error too
+    dup_same = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template name="emit"><a/></xsl:template>
+      <xsl:template name="emit"><b/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError, match="duplicate named"):
+        MiniXSLT(dup_same)

@@ -293,6 +293,41 @@ def test_ivf_prunes_but_scores_exact(embeddings):
     assert ivf == brute  # probing ALL centroids == exact
 
 
+def test_ann_ivf_entry_pruned_path_identical(spark):
+    """entry:ann_ivf probes ALL centroids (n_probe=8 ⇒ provably exact, DuckDB
+    oracle-checked); this test keeps the PRUNED path exercised on clustered
+    data (the geometry real embedding tables have — the sf testdata vectors
+    are near-uniform, where any IVF must lose recall): n_probe=2 of 8 returns
+    the SAME rows as the full probe, and the scores are exact cosines."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4.0
+    X = np.concatenate(
+        [c + rng.normal(scale=0.15, size=(250, 16)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    qvec = [float(x) for x in X[0]]
+    cents = train_centroids(df, n_centroids=8, sample=2_000, order_col="vec_id")
+    assigned = assign_centroids(df, cents).cache()
+    full = ivf_topk(assigned, cents, qvec, k=10, n_probe=8).collect()
+    pruned = ivf_topk(assigned, cents, qvec, k=10, n_probe=2).collect()
+    assigned.unpersist()
+    assert [(r["vec_id"], r["cosine"]) for r in pruned] == [
+        (r["vec_id"], r["cosine"]) for r in full
+    ]
+
+
+def test_train_centroids_deterministic_with_order_col(spark):
+    """order_col pins the sample: same centroids from differently-partitioned
+    inputs (plain limit() is partitioning-dependent)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = train_centroids(e.repartition(7), n_centroids=4, sample=300, order_col="vec_id")
+    b = train_centroids(e.coalesce(1), n_centroids=4, sample=300, order_col="vec_id")
+    assert np.array_equal(a, b)
+
+
 def test_langid(spark):
     rows = [
         (1, "the cat and the dog are in the house with it"),
