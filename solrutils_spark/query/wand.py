@@ -35,6 +35,13 @@ from solrutils_spark.index.codec import (BLOCK, decode_blocks,
                                           decode_blocks_many, decode_run)
 
 
+# test-visible instrumentation: how many times a kernel switched into
+# MaxScore lookup mode this process (one increment per switch, off the
+# per-block hot path). Tests pin that the skewed-query fixture actually
+# exercises the lookup branch, not just that results stay identical.
+KERNEL_STATS = {"lookup_on": 0}
+
+
 def _tf_norm_bound(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
     mt = max_tf.astype(np.float64)
     return mt / (mt + K1 * (1.0 - B + B * min_dl.astype(np.float64) / avgdl))
@@ -211,18 +218,39 @@ def topk_rows(
     # are bit-identical to the sorted-merge accumulator it replaces. The
     # block certificate becomes maximum.reduceat over the dense array's
     # block ranges (zeros ≡ "no accumulated score", same semantics).
+    #
+    # MaxScore essential-terms cutoff (round 5): once θ STRICTLY exceeds
+    # ub(t) + Σ ub(remaining terms), a doc touched by NO processed term has
+    # final score ≤ that sum < θ ≤ true k-th score — it can't make top-k
+    # under any tie-break. From that term on the kernel runs in LOOKUP mode:
+    # only blocks containing an already-touched doc decode (hot tail terms
+    # skip most of their blocks — decode bandwidth is the serving path's
+    # measured binding cost), and adds land only on touched docs. Touched
+    # docs receive every contribution in the same order, so returned scores
+    # stay bit-identical to exhaustive (prune-only; pinned by the parity +
+    # fuzz suites). This buys most of what impact-ordered postings would,
+    # without re-encoding the doc-ordered delta layout or perturbing float
+    # summation order.
     if n_docs is None:  # derive the id space from the rows' last blocks
         n_docs = 1 + max(
             int(np.asarray(row.block_last)[-1])
             for rows in rows_by_term.values() for row in rows
         )
     scores = np.zeros(int(n_docs), dtype=np.float64)
-    n_touched = 0
     theta = -np.inf
+    # sorted unique touched doc ids: θ refresh is O(|touched|) over
+    # scores[touched] (the old scores[scores > 0] pass scanned the whole
+    # n_docs array once per term — ADVICE round-4), and lookup mode needs
+    # the id list anyway
+    touched = np.empty(0, dtype=np.int64)
+    lookup = False
 
     for t in terms_sorted:
         idf = idf_by_term[t]
         rem = remaining_after[t]
+        if not lookup and np.isfinite(theta) and theta > term_ub[t] + rem:
+            lookup = True  # θ only grows, rem only shrinks — stays on
+            KERNEL_STATS["lookup_on"] += 1
         # a doc appears in exactly one salt row of term t, so all of t's rows
         # decode against the SAME accumulator snapshot (their doc ranges are
         # disjoint — the certificate never sees a same-term update); the
@@ -248,6 +276,11 @@ def topk_rows(
                 keep = max_acc + block_ub + rem >= theta
             else:
                 keep = np.ones(n_blocks, dtype=bool)
+            if lookup:
+                # only blocks holding ≥1 touched doc can contribute
+                lo = np.searchsorted(touched, prev_lasts + 1, side="left")
+                hi = np.searchsorted(touched, block_last, side="right")
+                keep &= hi > lo
 
             kept = np.flatnonzero(keep)
             if kept.size == 0:
@@ -257,14 +290,23 @@ def topk_rows(
             d, tf, dl = decode_blocks_many(parts)
             tfv = tf.astype(np.float64)
             nc = idf * tfv / (tfv + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
-            scores[d] += nc  # unique indices within a term: exact, vectorized
-            n_touched += d.size  # upper bound on distinct touched docs
-        if n_touched >= k:
-            touched_vals = scores[scores > 0]
-            if touched_vals.size >= k:
-                theta = np.partition(
-                    touched_vals, touched_vals.size - k
-                )[touched_vals.size - k]
+            if lookup:
+                pos = np.searchsorted(touched, d)
+                pos = np.minimum(pos, touched.size - 1)
+                ok = touched[pos] == d
+                d, nc = d[ok], nc[ok]
+                if d.size == 0:
+                    continue
+                scores[d] += nc
+            else:
+                scores[d] += nc  # unique indices within a term: exact
+                # d is globally ascending (salt rows ascend, blocks ascend)
+                # and unique within the term — one merge keeps `touched`
+                # sorted-unique
+                touched = d if touched.size == 0 else np.union1d(touched, d)
+        if touched.size >= k:
+            tv = scores[touched]
+            theta = np.partition(tv, tv.size - k)[tv.size - k]
 
     sel = _dense_topk(scores, k)
     return sel, scores[sel]
@@ -319,29 +361,62 @@ def topk_slice_batch(
     # is one salt slice (~n_docs/num_salts), so the array is small and the
     # per-query alloc trivial next to the shared decode above.
     base = hi = None
-    for d, _tfn in decoded.values():
+    max_tfn: dict[str, float] = {}
+    for t, (d, tfn) in decoded.items():
         if d.size:
             base = int(d[0]) if base is None else min(base, int(d[0]))
             hi = int(d[-1]) if hi is None else max(hi, int(d[-1]))
+            max_tfn[t] = float(tfn.max())  # exact per-slice bound, shared
     out = []
     if base is None:
         return out
     span = hi - base + 1
+    # pre-shift doc ids once per term (shared across the whole batch)
+    dloc_by_term = {t: d - base for t, (d, tfn) in decoded.items() if d.size}
     for qid, idf_by_term, k in plans:
         terms = sorted(
-            (t for t in idf_by_term if t in decoded), key=lambda t: (dfp[t], t)
+            (t for t in idf_by_term if t in dloc_by_term), key=lambda t: (dfp[t], t)
         )
         if not terms:
             continue
+        # MaxScore essential-terms cutoff (round 5, same argument as
+        # topk_rows): the decode above is shared, so the batch's MARGINAL
+        # per-query cost is the scatter-add over each term's slice postings
+        # — dominated by the Zipf-hot tail terms. Once θ (k-th best partial
+        # score, grows monotonically) STRICTLY exceeds the remaining terms'
+        # upper-bound sum, untouched docs are provably sub-top-k and the
+        # remaining terms only need adds on the touched set: a searchsorted
+        # gather (O(|touched| log n)) instead of an O(n) scatter. Touched
+        # docs receive identical contributions in identical order — returned
+        # scores stay bit-identical to the exhaustive accumulation (pinned
+        # by test_search_batch_rank_identical + the fuzz sweep).
+        ubs = np.array([idf_by_term[t] * max_tfn[t] for t in terms])
+        rem_incl = np.cumsum(ubs[::-1])[::-1]  # ub of term i..end
         scores = np.zeros(span, dtype=np.float64)
-        touched = 0
-        for t in terms:
-            d, tfn = decoded[t]
-            if d.size == 0:
+        theta = -np.inf
+        touched_loc: np.ndarray | None = None  # sorted local ids at switch
+        any_touch = False
+        for i, t in enumerate(terms):
+            dloc = dloc_by_term[t]
+            _, tfn = decoded[t]
+            if touched_loc is None and np.isfinite(theta) and theta > rem_incl[i]:
+                touched_loc = np.flatnonzero(scores > 0)  # one O(span) pass
+                KERNEL_STATS["lookup_on"] += 1
+            if touched_loc is not None:
+                pos = np.searchsorted(dloc, touched_loc)
+                pos = np.minimum(pos, dloc.size - 1)
+                hit = dloc[pos] == touched_loc
+                sel = pos[hit]
+                if sel.size:
+                    scores[touched_loc[hit]] += idf_by_term[t] * tfn[sel]
                 continue
-            scores[d - base] += idf_by_term[t] * tfn  # unique per term: exact
-            touched += d.size
-        if touched == 0:
+            scores[dloc] += idf_by_term[t] * tfn  # unique per term: exact
+            any_touch = True
+            if i + 1 < len(terms):
+                tv = scores[scores > 0]
+                if tv.size >= k:
+                    theta = np.partition(tv, tv.size - k)[tv.size - k]
+        if not any_touch:
             continue
         sel = _dense_topk(scores, k)
         out.append((qid, sel + base, scores[sel]))
@@ -400,8 +475,9 @@ def topk_slice(
     if base is None:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     scores = np.zeros(hi - base + 1, dtype=np.float64)
-    n_touched = 0
     theta = -np.inf
+    touched = np.empty(0, dtype=np.int64)  # sorted unique LOCAL (base-shifted)
+    lookup = False
 
     for t_idx, row in enumerate(rows.itertuples(index=False)):
         idf = idf_by_term[row.term]
@@ -414,6 +490,14 @@ def topk_slice(
         prev_lasts[0] = int(row.first_doc) - 1
         prev_lasts[1:] = block_last[:-1]
 
+        if use_wand and not lookup and np.isfinite(theta) and theta > ubs[t_idx] + remaining_after[t_idx]:
+            # MaxScore essential-terms cutoff (see topk_rows): untouched docs
+            # are provably sub-θ from here on — decode only blocks holding a
+            # touched doc, add only to touched docs. θ only grows and the
+            # remaining-ub sum only shrinks, so lookup stays on.
+            lookup = True
+            KERNEL_STATS["lookup_on"] += 1
+
         if use_wand and np.isfinite(theta):
             block_ub = idf * _tf_norm_bound(
                 np.asarray(row.block_max_tf), np.asarray(row.block_min_dl), avgdl
@@ -425,6 +509,10 @@ def topk_slice(
             keep = max_acc + block_ub + remaining_after[t_idx] >= theta
         else:
             keep = np.ones(n_blocks, dtype=bool)
+        if lookup:
+            lo = np.searchsorted(touched, prev_lasts + 1 - base, side="left")
+            hi_t = np.searchsorted(touched, block_last - base, side="right")
+            keep &= hi_t > lo
 
         kept = np.flatnonzero(keep)
         if kept.size == 0:
@@ -439,14 +527,21 @@ def topk_slice(
             if nd.size == 0:
                 continue
 
-        scores[nd - base] += nc  # unique indices within a term: exact
-        n_touched += nd.size
-        if n_touched >= k:
-            touched_vals = scores[scores > 0]
-            if touched_vals.size >= k:
-                theta = np.partition(
-                    touched_vals, touched_vals.size - k
-                )[touched_vals.size - k]
+        ndl = nd - base
+        if lookup:
+            pos = np.searchsorted(touched, ndl)
+            pos = np.minimum(pos, touched.size - 1)
+            ok = touched[pos] == ndl
+            ndl, nc = ndl[ok], nc[ok]
+            if ndl.size == 0:
+                continue
+            scores[ndl] += nc
+        else:
+            scores[ndl] += nc  # unique indices within a term: exact
+            touched = ndl if touched.size == 0 else np.union1d(touched, ndl)
+        if touched.size >= k:
+            tv = scores[touched]
+            theta = np.partition(tv, tv.size - k)[tv.size - k]
 
     sel = _dense_topk(scores, k)
     return sel + base, scores[sel]

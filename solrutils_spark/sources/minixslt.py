@@ -24,21 +24,31 @@ supported instructions
     xsl:number [level=single|any] [count=pattern] (format="1" only)
     xsl:include / xsl:import via a resolver= callback (import = lower
                                         precedence, XSLT 1.0 §2.6)
-    'string literals' in select= expressions
-    xsl:value-of select=path|position()|last()|$param
-    xsl:copy-of select=path            (deep copy of selected nodes/values)
-    xsl:if test="path" | "path='lit'" | "not(...)" | "position()=N"
-    xsl:choose / xsl:when / xsl:otherwise
+    xsl:value-of / xsl:copy-of select=EXPR (full expression, see below)
+    xsl:if test=EXPR / xsl:choose / xsl:when / xsl:otherwise
     xsl:attribute name=...
     xsl:text
-    literal result elements with {path} attribute-value templates
+    literal result elements with {EXPR} attribute-value templates
+
+supported XPath 1.0 expressions (round 5: select=/test=/predicates/AVTs all
+route through one precedence-climbing evaluator, ``_XPathEval``)
+    or and  = != < <= > >=  + - * div mod  unary -  union ``|``  ( )
+    core functions: string number boolean not true false count sum concat
+    contains starts-with substring substring-before substring-after
+    string-length normalize-space translate name local-name floor ceiling
+    round position last
+    node-set comparison semantics (existential, §3.4) and the §4.2
+    number→string formatting (integers print without a decimal point)
 
 supported select/match paths (relative to the context node)
-    .   name   a/b/c   @attr   a/@attr   text()   *   /absolute/path   $param
+    .   ..   name   a/b/c   @attr   a/@attr   text()   *   /absolute/path
+    $param   parent::n   ancestor::n   ancestor-or-self::n   self::n
+    child::n   attribute::n
     any step may carry predicates: a[2]  a[last()]  a[@id='x']  a[b='v']
-    a[@attr]  a[position()=2]  (chained ``[p][q]`` filters left to right;
-    position() inside a predicate is the node's 1-based index in ITS step's
-    candidate list per parent — XPath proximity position)
+    a[@attr]  a[position()&lt;3]  a[EXPR]  (chained ``[p][q]`` filters left
+    to right; position() inside a predicate is the node's 1-based index in
+    ITS step's candidate list per parent — XPath proximity position;
+    number-valued predicates mean position()=N)
 
 Anything else raises ``UnsupportedXsltError`` at compile or apply time —
 never a silent wrong answer. Built-in rules: an element with no matching
@@ -51,14 +61,13 @@ For full XSLT install lxml — ``make_xslt_transform`` prefers it when present.
 from __future__ import annotations
 
 import copy as _copy
+import math
 import re
 import xml.etree.ElementTree as ET
 
 XSL_NS = "http://www.w3.org/1999/XSL/Transform"
 _X = "{%s}" % XSL_NS
 _AVT_RE = re.compile(r"\{([^}]+)\}")
-_EQ_TEST_RE = re.compile(r"^(.*?)\s*=\s*'([^']*)'$")
-_POS_TEST_RE = re.compile(r"^(position\(\)|last\(\))\s*=\s*(\d+)$")
 _STEP_RE = re.compile(r"^([^\[\]]+)((?:\[[^\]]*\])*)$")
 _PRED_RE = re.compile(r"\[([^\]]*)\]")
 _KEY_RE = re.compile(r"^key\(\s*'([^']*)'\s*,\s*([^)]*?)\s*\)(.*)$")
@@ -75,6 +84,10 @@ def _strip_ns(tag: str) -> str:
 def _string_value(node) -> str:
     if isinstance(node, ET.Element):
         return "".join(node.itertext())
+    if isinstance(node, bool):  # before float: bool is not float, but be explicit
+        return "true" if node else "false"
+    if isinstance(node, float):
+        return _num_str(node)
     return str(node)
 
 
@@ -94,6 +107,479 @@ class _Ctx:
 
     def with_env(self, env: dict) -> "_Ctx":
         return _Ctx(self.node, self.pos, self.last, env)
+
+
+def _num_str(f: float) -> str:
+    """XPath number→string (§4.2): integers without a decimal point."""
+    if f != f:
+        return "NaN"
+    if f == float("inf"):
+        return "Infinity"
+    if f == float("-inf"):
+        return "-Infinity"
+    if f == int(f) and abs(f) < 1e16:
+        return str(int(f))
+    return repr(f)
+
+
+def _xstr(v) -> str:
+    """XPath string() of an evaluator value (§4.2): node-sets take the
+    FIRST node's string-value; '' when empty."""
+    if isinstance(v, list):
+        return _string_value(v[0]) if v else ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return _num_str(v)
+    return _string_value(v)
+
+
+def _xnum(v) -> float:
+    """XPath number() (§4.4): NaN on non-numeric strings."""
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    s = _xstr(v).strip()
+    try:
+        return float(s)
+    except ValueError:
+        return float("nan")
+
+
+def _xbool(v) -> bool:
+    """XPath boolean() (§4.3)."""
+    if isinstance(v, list):
+        return len(v) > 0
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v == v and v != 0.0
+    return len(_xstr(v)) > 0
+
+
+_XP_TOK = re.compile(
+    r"""\s*(?:
+      (?P<str>'[^']*'|"[^"]*")
+    | (?P<num>\d+(?:\.\d+)?|\.\d+)
+    | (?P<dslash>//)
+    | (?P<ddot>\.\.)
+    | (?P<axis>[A-Za-z][\w\-]*::)
+    | (?P<name>[A-Za-z_][\w\-.]*)
+    | (?P<op>!=|<=|>=|[()\[\],|=<>+\-*/@$.])
+    )""",
+    re.X,
+)
+
+
+class _XPathEval:
+    """XPath 1.0 EXPRESSION evaluator (round 5).
+
+    Covers or/and, = != < <= > >= (node-set existence semantics), + -
+    * div mod, unary minus, union ``|``, parentheses, the core function
+    library (string/number/boolean/count/concat/contains/starts-with/
+    substring*/normalize-space/string-length/translate/name/local-name/
+    sum/floor/ceiling/round/position/last/true/false/not), and
+    LocationPaths. Paths (incl. ``key()`` and ``$var`` refs) delegate to
+    :meth:`MiniXSLT._select` by source-slice, so path semantics (axes,
+    predicates, keys) live in ONE place. Unrecognized syntax raises
+    :class:`UnsupportedXsltError` — the module's loud-failure contract.
+    Reference twin: the JAXP processor the handler compiles
+    (XsltUpdateHandler.java:114-136) exposes full XPath 1.0.
+
+    Values: ``list`` = node-set, ``str``, ``float``, ``bool``.
+    """
+
+    _FUNCS = {
+        "position", "last", "count", "sum", "string", "number", "boolean",
+        "not", "true", "false", "concat", "contains", "starts-with",
+        "substring", "substring-before", "substring-after", "string-length",
+        "normalize-space", "translate", "name", "local-name", "floor",
+        "ceiling", "round",
+    }
+    _PATH_NODETESTS = ("text", "node")
+
+    def __init__(self, m: "MiniXSLT", ctx: "_Ctx", root, src: str):
+        self.m = m
+        self.ctx = ctx
+        self.root = root
+        self.src = src
+        self.toks: list[tuple[str, str, int, int]] = []
+        pos = 0
+        while pos < len(src):
+            mt = _XP_TOK.match(src, pos)
+            if not mt or mt.end() == pos:
+                if src[pos:].strip() == "":
+                    break
+                raise UnsupportedXsltError(f"cannot tokenize XPath: {src!r}")
+            kind = mt.lastgroup
+            self.toks.append((kind, mt.group(kind), mt.start(kind), mt.end()))
+            pos = mt.end()
+        self.i = 0
+
+    # -- token helpers --------------------------------------------------
+    def _peek(self, off: int = 0):
+        j = self.i + off
+        return self.toks[j] if j < len(self.toks) else (None, None, -1, -1)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _is_op(self, text: str, off: int = 0) -> bool:
+        k, v, _, _ = self._peek(off)
+        return k == "op" and v == text
+
+    # -- entry -----------------------------------------------------------
+    def eval(self):
+        v = self._or()
+        if self.i < len(self.toks):
+            raise UnsupportedXsltError(
+                f"trailing tokens in XPath {self.src!r} at {self.toks[self.i][1]!r}")
+        return v
+
+    # -- precedence-climbing grammar --------------------------------------
+    def _or(self):
+        v = self._and()
+        while self._peek()[0] == "name" and self._peek()[1] == "or":
+            self._next()
+            r = self._and()
+            v = _xbool(v) or _xbool(r)
+        return v
+
+    def _and(self):
+        v = self._eq()
+        while self._peek()[0] == "name" and self._peek()[1] == "and":
+            self._next()
+            r = self._eq()
+            v = _xbool(v) and _xbool(r)
+        return v
+
+    def _eq(self):
+        v = self._rel()
+        while self._is_op("=") or self._is_op("!="):
+            op = self._next()[1]
+            v = self._compare(op, v, self._rel())
+        return v
+
+    def _rel(self):
+        v = self._add()
+        while self._is_op("<") or self._is_op("<=") or self._is_op(">") or self._is_op(">="):
+            op = self._next()[1]
+            v = self._compare(op, v, self._add())
+        return v
+
+    def _add(self):
+        v = self._mul()
+        while self._is_op("+") or self._is_op("-"):
+            op = self._next()[1]
+            r = _xnum(self._mul())
+            v = _xnum(v) + r if op == "+" else _xnum(v) - r
+        return v
+
+    def _mul(self):
+        v = self._unary()
+        while self._is_op("*") or (
+            self._peek()[0] == "name" and self._peek()[1] in ("div", "mod")
+            # 'div'/'mod' are operators only in operator position — i.e.
+            # when they are NOT followed by something that continues a path
+            and not self._is_op("/", 1) and not self._is_op("[", 1)
+        ):
+            op = self._next()[1]
+            a, b = _xnum(v), _xnum(self._unary())
+            if op == "*":
+                v = a * b
+            elif op == "div":
+                try:
+                    v = a / b
+                except ZeroDivisionError:
+                    v = float("nan") if a == 0 else float("inf") if a > 0 else float("-inf")
+            else:
+                v = math.fmod(a, b) if b else float("nan")
+        return v
+
+    def _unary(self):
+        if self._is_op("-"):
+            self._next()
+            return -_xnum(self._unary())
+        return self._union()
+
+    def _union(self):
+        v = self._primary()
+        while self._is_op("|"):
+            self._next()
+            r = self._primary()
+            if not (isinstance(v, list) and isinstance(r, list)):
+                raise UnsupportedXsltError("union | needs node-sets")
+            seen = {id(x) for x in v}
+            merged = v + [x for x in r if id(x) not in seen]
+            order = getattr(self.m, "_doc_order", [])
+            idx = {id(e): j for j, e in enumerate(order)}
+            if all(id(x) in idx for x in merged):
+                merged.sort(key=lambda x: idx[id(x)])  # document order
+            v = merged
+        return v
+
+    # -- primaries ---------------------------------------------------------
+    def _primary(self):
+        k, val, s, e = self._peek()
+        if k is None:
+            raise UnsupportedXsltError(f"unexpected end of XPath {self.src!r}")
+        if k == "str":
+            self._next()
+            return val[1:-1]
+        if k == "num":
+            self._next()
+            return float(val)
+        if k == "op" and val == "(":
+            self._next()
+            v = self._or()
+            if not self._is_op(")"):
+                raise UnsupportedXsltError(f"missing ) in {self.src!r}")
+            self._next()
+            return v
+        if k == "op" and val == "$":
+            self._next()
+            nk, nv, ns_, ne = self._next()
+            if nk != "name":
+                raise UnsupportedXsltError(f"bad variable ref in {self.src!r}")
+            # RAW value, not _select's node-set wrapping: a boolean/number
+            # variable must keep its type ($flag and ... would otherwise see
+            # a non-empty list == true regardless of the stored value)
+            return self.m._lookup_var(self.ctx, nv)
+        if k == "name" and self._is_op("(", 1):
+            if val == "key":
+                return self._path()
+            if val in self._PATH_NODETESTS:
+                return self._path()
+            if val in self._FUNCS:
+                return self._call(val)
+            raise UnsupportedXsltError(f"unknown XPath function {val}()")
+        if k in ("name", "ddot", "axis") or (k == "op" and val in ("@", "/", ".", "*")):
+            return self._path()
+        if k == "dslash":
+            raise UnsupportedXsltError("descendant axis // not supported")
+        raise UnsupportedXsltError(f"cannot parse XPath at {val!r} in {self.src!r}")
+
+    def _call(self, name: str):
+        self._next()  # name
+        self._next()  # (
+        args = []
+        if not self._is_op(")"):
+            args.append(self._or())
+            while self._is_op(","):
+                self._next()
+                args.append(self._or())
+        if not self._is_op(")"):
+            raise UnsupportedXsltError(f"missing ) after {name}( in {self.src!r}")
+        self._next()
+        return self._apply(name, args)
+
+    def _apply(self, name: str, a: list):
+        ctx = self.ctx
+        if name == "position":
+            return float(ctx.pos)
+        if name == "last":
+            return float(ctx.last)
+        if name == "true":
+            return True
+        if name == "false":
+            return False
+        if name == "not":
+            return not _xbool(a[0])
+        if name == "boolean":
+            return _xbool(a[0])
+        if name == "number":
+            return _xnum(a[0] if a else [ctx.node])
+        if name == "string":
+            return _xstr(a[0] if a else [ctx.node])
+        if name == "count":
+            if not isinstance(a[0], list):
+                raise UnsupportedXsltError("count() needs a node-set")
+            return float(len(a[0]))
+        if name == "sum":
+            if not isinstance(a[0], list):
+                raise UnsupportedXsltError("sum() needs a node-set")
+            return float(sum(_xnum([n]) for n in a[0]))
+        if name in ("name", "local-name"):
+            nodes = a[0] if a else [ctx.node]
+            if not isinstance(nodes, list):
+                raise UnsupportedXsltError(f"{name}() needs a node-set")
+            if not nodes:
+                return ""
+            n = nodes[0]
+            return _strip_ns(n.tag) if isinstance(n, ET.Element) else ""
+        if name == "concat":
+            return "".join(_xstr(x) for x in a)
+        if name == "contains":
+            return _xstr(a[1]) in _xstr(a[0])
+        if name == "starts-with":
+            return _xstr(a[0]).startswith(_xstr(a[1]))
+        if name == "substring-before":
+            s, sep = _xstr(a[0]), _xstr(a[1])
+            return s.split(sep, 1)[0] if sep and sep in s else ""
+        if name == "substring-after":
+            s, sep = _xstr(a[0]), _xstr(a[1])
+            return s.split(sep, 1)[1] if sep and sep in s else ""
+        if name == "substring":
+            # XPath 1-based with round() semantics (§4.2)
+            s = _xstr(a[0])
+            start = math.floor(_xnum(a[1]) + 0.5)
+            if len(a) > 2:
+                ln = math.floor(_xnum(a[2]) + 0.5)
+                if ln != ln or start != start:
+                    return ""
+                lo = max(1, start)
+                hi = start + ln
+                return s[int(lo) - 1 : max(int(hi) - 1, 0)]
+            if start != start:
+                return ""
+            return s[max(0, int(start) - 1):]
+        if name == "string-length":
+            return float(len(_xstr(a[0] if a else [ctx.node])))
+        if name == "normalize-space":
+            return " ".join(_xstr(a[0] if a else [ctx.node]).split())
+        if name == "translate":
+            s, frm, to = _xstr(a[0]), _xstr(a[1]), _xstr(a[2])
+            table = {}
+            for i, ch in enumerate(frm):
+                if ch not in table:
+                    table[ch] = to[i] if i < len(to) else None
+            return "".join(
+                table.get(ch, ch) for ch in s if table.get(ch, ch) is not None
+            )
+        if name == "floor":
+            return float(math.floor(_xnum(a[0])))
+        if name == "ceiling":
+            return float(math.ceil(_xnum(a[0])))
+        if name == "round":
+            v = _xnum(a[0])
+            return v if v != v else float(math.floor(v + 0.5))
+        raise UnsupportedXsltError(f"XPath function {name}() not implemented")
+
+    # -- location paths (delegated by source-slice) -------------------------
+    def _path(self):
+        start = self._peek()[2]
+        end = start
+        k, v, _, e = self._peek()
+        if k == "op" and v == "/":
+            end = self._next()[3]
+            if not self._path_step_starts():
+                # bare "/" = document node
+                return [self.root]
+        if k == "name" and v == "key" and self._is_op("(", 1):
+            self._next()  # key
+            end = self._consume_balanced("(", ")")
+            # optional /steps suffix
+            while self._is_op("/"):
+                self._next()
+                end = self._consume_step()
+            return self.m._select(self.ctx, self.src[start:end], self.root)
+        end = self._consume_step()
+        while self._is_op("/"):
+            self._next()
+            end = self._consume_step()
+        return self.m._select(self.ctx, self.src[start:end], self.root)
+
+    def _path_step_starts(self) -> bool:
+        k, v, _, _ = self._peek()
+        if k in ("name", "ddot", "axis"):
+            return True
+        return k == "op" and v in ("@", ".", "*")
+
+    def _consume_step(self) -> int:
+        """Consume one path step (+ its predicates); return its end offset."""
+        k, v, _, e = self._peek()
+        if k == "dslash":
+            raise UnsupportedXsltError("descendant axis // not supported")
+        if k == "axis":
+            self._next()
+            k, v, _, e = self._peek()
+            if not (k == "name" or (k == "op" and v == "*")):
+                raise UnsupportedXsltError(f"bad axis step in {self.src!r}")
+            end = self._next()[3]
+        elif k == "op" and v == "@":
+            self._next()
+            k, v, _, e = self._peek()
+            if not (k == "name" or (k == "op" and v == "*")):
+                raise UnsupportedXsltError(f"bad attribute step in {self.src!r}")
+            end = self._next()[3]
+        elif k == "ddot" or (k == "op" and v in (".", "*")):
+            end = self._next()[3]
+        elif k == "name":
+            end = self._next()[3]
+            if self._is_op("("):  # text() / node() nodetest
+                if v not in self._PATH_NODETESTS:
+                    raise UnsupportedXsltError(
+                        f"function {v}() cannot appear as a path step")
+                self._next()
+                if not self._is_op(")"):
+                    raise UnsupportedXsltError(f"bad nodetest in {self.src!r}")
+                end = self._next()[3]
+        else:
+            raise UnsupportedXsltError(f"cannot parse path step in {self.src!r}")
+        while self._is_op("["):
+            end = self._consume_balanced("[", "]")
+        return end
+
+    def _consume_balanced(self, opener: str, closer: str) -> int:
+        depth = 0
+        while True:
+            k, v, _, e = self._next()
+            if k is None:
+                raise UnsupportedXsltError(f"unbalanced {opener} in {self.src!r}")
+            if k == "op" and v == opener:
+                depth += 1
+            elif k == "op" and v == closer:
+                depth -= 1
+                if depth == 0:
+                    return e
+
+    # -- comparisons (§3.4) -------------------------------------------------
+    @staticmethod
+    def _compare(op: str, a, b) -> bool:
+        def cmp_scalar(x, y):
+            if op == "=":
+                return x == y
+            if op == "!=":
+                return x != y
+            if op == "<":
+                return x < y
+            if op == "<=":
+                return x <= y
+            if op == ">":
+                return x > y
+            return x >= y
+
+        rel = op in ("<", "<=", ">", ">=")
+        if isinstance(a, list) and isinstance(b, list):
+            av = [_string_value(x) for x in a]
+            bv = [_string_value(y) for y in b]
+            if rel:
+                return any(cmp_scalar(_xnum(x), _xnum(y)) for x in av for y in bv)
+            return any(cmp_scalar(x, y) for x in av for y in bv)
+        if isinstance(a, list) or isinstance(b, list):
+            ns, other = (a, b) if isinstance(a, list) else (b, a)
+            flip = not isinstance(a, list)
+            for n in ns:
+                sv = _string_value(n)
+                if rel or isinstance(other, float):
+                    x, y = _xnum(sv), _xnum(other)
+                elif isinstance(other, bool):
+                    x, y = _xbool([n]), other
+                else:
+                    x, y = sv, _xstr(other)
+                if cmp_scalar(*((y, x) if flip else (x, y))):
+                    return True
+            return False
+        if rel:
+            return cmp_scalar(_xnum(a), _xnum(b))
+        if isinstance(a, bool) or isinstance(b, bool):
+            return cmp_scalar(_xbool(a), _xbool(b))
+        if isinstance(a, float) or isinstance(b, float):
+            return cmp_scalar(_xnum(a), _xnum(b))
+        return cmp_scalar(_xstr(a), _xstr(b))
 
 
 class MiniXSLT:
@@ -178,6 +664,21 @@ class MiniXSLT:
                 raise UnsupportedXsltError(f"top-level {tag} not supported")
 
     # -- path evaluation -------------------------------------------------------
+    def _lookup_var(self, ctx: _Ctx, name: str):
+        """Raw (un-wrapped) value of a parameter/variable binding."""
+        if name in ctx.env:
+            return ctx.env[name]
+        if name in getattr(self, "_globals", {}):
+            return self._globals[name]
+        raise UnsupportedXsltError(f"undefined parameter/variable ${name}")
+
+    def _eval_expr(self, ctx: _Ctx, src: str, root: ET.Element):
+        """Full XPath 1.0 EXPRESSION evaluation (round 5): operators, the
+        core function library, and location paths (paths delegate back to
+        :meth:`_select`, so axis/predicate/key semantics live in one place).
+        Returns a node-set ``list``, ``str``, ``float``, or ``bool``."""
+        return _XPathEval(self, ctx, root, src).eval()
+
     def _select(self, ctx: _Ctx, path: str, root: ET.Element) -> list:
         """Evaluate a (very small) path → list of Elements / strings / ints."""
         path = path.strip()
@@ -193,12 +694,7 @@ class MiniXSLT:
             name = path[1:]
             if "/" in name or "[" in name:
                 raise UnsupportedXsltError(f"steps off a param not supported: {path}")
-            if name in ctx.env:
-                val = ctx.env[name]
-            elif name in getattr(self, "_globals", {}):
-                val = self._globals[name]
-            else:
-                raise UnsupportedXsltError(f"undefined parameter/variable ${name}")
+            val = self._lookup_var(ctx, name)
             return list(val) if isinstance(val, list) else [val]
         km = _KEY_RE.match(path)
         if km:
@@ -206,7 +702,7 @@ class MiniXSLT:
         # absolute paths start at the synthetic document node (whose only
         # child is the source root element), exactly like XSLT's "/"
         nodes: list = [root] if path.startswith("/") else [ctx.node]
-        steps = [s for s in path.split("/") if s]
+        steps = [s.strip() for s in path.split("/") if s.strip()]
         for step in steps:
             m = _STEP_RE.match(step)
             if not m:
@@ -285,8 +781,7 @@ class MiniXSLT:
         out = list(targets)
         for sel, dt, order in reversed(specs):
             def keyf(n, sel=sel, dt=dt):
-                vals = self._select(ctx.at(n, 1, 1), sel, root)
-                s = _string_value(vals[0]) if vals else ""
+                s = _xstr(self._eval_expr(ctx.at(n, 1, 1), sel, root))
                 if dt == "number":
                     try:
                         return float(s)
@@ -296,8 +791,13 @@ class MiniXSLT:
             out.sort(key=keyf, reverse=(order == "descending"))
         return out
 
-    @staticmethod
-    def _step_base(n: ET.Element, base: str) -> list:
+    def _step_base(self, n: ET.Element, base: str) -> list:
+        base = base.strip()
+        # explicit-axis sugar for the axes this subset supports
+        if base.startswith("child::"):
+            base = base[len("child::"):]
+        elif base.startswith("attribute::"):
+            base = "@" + base[len("attribute::"):]
         if base == "@*":
             return list(n.attrib.values())
         if base.startswith("@"):
@@ -305,26 +805,58 @@ class MiniXSLT:
             return [v] if v is not None else []
         if base == "text()":
             return [n.text] if n.text else []
+        if base == ".":
+            return [n]
         if base == "*":
             return list(n)
-        if base == "..":
-            raise UnsupportedXsltError("parent axis not supported")
+        if base == ".." or base.startswith("parent::"):
+            # parent map is recorded per-document in __call__; the root
+            # element's parent is the synthetic document node (XPath: the
+            # root node), so ``../x`` from the root selects siblings-of-root
+            # correctly (i.e. nothing but the root element itself)
+            p = getattr(self, "_parent", {}).get(id(n))
+            if p is None:
+                return []
+            if base == ".." or base == "parent::*" or (
+                _strip_ns(p.tag) == base[len("parent::"):]
+            ):
+                # parent::* is an ELEMENT test — the document stand-in isn't one
+                if base != ".." and p.tag == "__document__":
+                    return []
+                return [p]
+            return []
+        if base.startswith(("ancestor::", "ancestor-or-self::")):
+            name = base.split("::", 1)[1]
+            chain = []
+            cur = n if base.startswith("ancestor-or-self::") else \
+                getattr(self, "_parent", {}).get(id(n))
+            while cur is not None and cur.tag != "__document__":
+                chain.append(cur)
+                cur = getattr(self, "_parent", {}).get(id(cur))
+            chain.reverse()  # document order (root-first), _select convention
+            return [c for c in chain if name == "*" or _strip_ns(c.tag) == name]
+        if base.startswith("self::"):
+            name = base[len("self::"):]
+            return [n] if name == "*" or _strip_ns(n.tag) == name else []
+        if "::" in base:
+            raise UnsupportedXsltError(f"axis not supported: {base!r}")
         return [c for c in n if _strip_ns(c.tag) == base]
 
     def _pred(self, ctx: _Ctx, value, pred: str, pos: int, last: int,
               root: ET.Element) -> bool:
         pred = pred.strip()
-        if pred.isdigit():  # [2] ≡ [position()=2]
+        if pred.isdigit():  # fast path: [2] ≡ [position()=2], no ctx needed
             return pos == int(pred)
-        if pred == "last()":  # number-valued predicate ≡ position()=number
-            return pos == last
-        if pred == "position()":
-            raise UnsupportedXsltError("bare position() predicate is always true")
-        if not isinstance(value, ET.Element):
+        if not isinstance(value, ET.Element) and not pred.startswith(
+            ("position()", "last()")
+        ):
             raise UnsupportedXsltError(
                 f"predicate {pred!r} on a non-element value"
             )
-        return self._test(ctx.at(value, pos, last), pred, root)
+        v = self._eval_expr(ctx.at(value, pos, last), pred, root)
+        if isinstance(v, float):  # number-valued predicate ≡ position()=N (§2.4)
+            return float(pos) == v
+        return _xbool(v)
 
     # -- matching ------------------------------------------------------------
     def _matches_pattern(self, elem: ET.Element, match: str) -> bool:
@@ -385,6 +917,7 @@ class MiniXSLT:
                     record(c, path + [_strip_ns(e.tag)])
 
         record(src, [])
+        self._parent[id(src)] = doc  # parent of the root ELEMENT = root node
         # xsl:key tables: one doc-order walk per key definition, built once
         # per document (libxslt does the same lazily; eager is simpler and
         # the mapping-sheet sources are request-sized)
@@ -440,24 +973,12 @@ class MiniXSLT:
             self._apply_to_children(ctx, root, out, mode)
 
     def _test(self, ctx: _Ctx, test: str, root: ET.Element) -> bool:
-        test = test.strip()
-        if test.startswith("not(") and test.endswith(")"):
-            return not self._test(ctx, test[4:-1], root)
-        pm = _POS_TEST_RE.match(test)
-        if pm:
-            val = ctx.pos if pm.group(1) == "position()" else ctx.last
-            return val == int(pm.group(2))
-        m = _EQ_TEST_RE.match(test)
-        if m:
-            nodes = self._select(ctx, m.group(1), root)
-            return any(_string_value(n) == m.group(2) for n in nodes)
-        return bool(self._select(ctx, test, root))
+        """xsl:if/xsl:when test: XPath boolean() of the expression value."""
+        return _xbool(self._eval_expr(ctx, test.strip(), root))
 
     def _avt(self, value: str, ctx: _Ctx, root: ET.Element) -> str:
         return _AVT_RE.sub(
-            lambda m: "".join(
-                _string_value(n) for n in self._select(ctx, m.group(1), root)[:1]
-            ),
+            lambda m: _xstr(self._eval_expr(ctx, m.group(1), root)),
             value,
         )
 
@@ -473,7 +994,9 @@ class MiniXSLT:
         """xsl:with-param / xsl:param default: select= or literal content."""
         sel = node.get("select")
         if sel is not None:
-            return self._select(ctx, sel, root)
+            # full expression: value keeps its XPath type (node-set, string,
+            # number, boolean) — $refs see it raw via _lookup_var
+            return self._eval_expr(ctx, sel, root)
         buf = ET.Element("__param__")
         self._run_body(node, ctx, root, buf)
         if len(buf):
@@ -564,10 +1087,11 @@ class MiniXSLT:
                      node.get("name", ""): self._eval_param_value(node, ctx, root)}
                 )
             elif tag == f"{_X}value-of":
-                nodes = self._select(ctx, node.get("select", "."), root)
-                self._append_text(out, _string_value(nodes[0]) if nodes else "")
+                v = self._eval_expr(ctx, node.get("select", "."), root)
+                self._append_text(out, _xstr(v))
             elif tag == f"{_X}copy-of":
-                for n in self._select(ctx, node.get("select", "."), root):
+                v = self._eval_expr(ctx, node.get("select", "."), root)
+                for n in (v if isinstance(v, list) else [v]):
                     if isinstance(n, ET.Element):
                         out.append(_copy.deepcopy(n))
                     else:
@@ -577,7 +1101,11 @@ class MiniXSLT:
             elif tag == f"{_X}sort":
                 continue  # consumed by the enclosing for-each/apply-templates
             elif tag == f"{_X}for-each":
-                subs = self._select(ctx, node.get("select", "."), root)
+                subs = self._eval_expr(ctx, node.get("select", "."), root)
+                if not isinstance(subs, list):
+                    raise UnsupportedXsltError(
+                        "for-each select must evaluate to a node-set"
+                    )
                 subs = self._sorted(subs, self._sort_spec(node), ctx, root)
                 for i, sub in enumerate(subs, 1):
                     if not isinstance(sub, ET.Element):
@@ -591,11 +1119,14 @@ class MiniXSLT:
                         )
                 sel = node.get("select")
                 mode = node.get("mode")
-                targets = (
-                    self._select(ctx, sel, root)
-                    if sel is not None
-                    else [c for c in ctx.node if isinstance(c.tag, str)]
-                )
+                if sel is not None:
+                    targets = self._eval_expr(ctx, sel, root)
+                    if not isinstance(targets, list):
+                        raise UnsupportedXsltError(
+                            "apply-templates select must evaluate to a node-set"
+                        )
+                else:
+                    targets = [c for c in ctx.node if isinstance(c.tag, str)]
                 targets = self._sorted(targets, self._sort_spec(node), ctx, root)
                 for i, t in enumerate(targets, 1):
                     if not isinstance(t, ET.Element):

@@ -398,3 +398,74 @@ def test_merge_single_exchange_plan(spark, tmp_path):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(bucket" in plan
+
+
+def test_maxscore_lookup_mode_engages_and_stays_exact(spark, tmp_path):
+    """Round-5 MaxScore essential-terms cutoff: on a skewed query (one rare
+    high-tf term + Zipf-hot tail terms) the kernels must (a) actually switch
+    into lookup mode — pinned via ``KERNEL_STATS`` — and (b) return ids AND
+    scores identical to the exhaustive oracle (prune-only contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from solrutils_spark.index.builder import build_index
+    from solrutils_spark.oracle.reference_bm25 import OracleIndex
+    from solrutils_spark.query import wand
+    from solrutils_spark.query.engine import IndexReader
+    from solrutils_spark.query.wand import topk_slice_batch
+
+    rows = []
+    for i in range(1500):
+        toks = ["hotalpha"] * 2 + ["hotbeta"] * 3 + [f"filler{i % 41}"]
+        if i % 180 == 0:  # 9 docs carry the rare, high-tf term
+            toks += ["raretoken"] * 40
+        rows.append(("r", f"f{i}.py", "c0", "py", " ".join(toks)))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path / "skewidx")
+    build_index(corpus, out, segment_size=256, num_salts=2, num_buckets=8)
+    reader = IndexReader(spark, out)
+    oracle = OracleIndex([
+        (r["doc_id"], r["content"])
+        for r in reader.docs.select("doc_id", "content").collect()
+    ])
+
+    q = "raretoken hotalpha hotbeta"
+    expected = oracle.search(q, 5)
+
+    # serving kernel (topk_rows, driver-side): engagement visible in-process
+    before = wand.KERNEL_STATS["lookup_on"]
+    got = reader.search_local(q, k=5)
+    assert wand.KERNEL_STATS["lookup_on"] > before, "lookup mode never engaged"
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == _pytest.approx(es, abs=1e-9), f"doc {gd}"
+
+    # batch kernel (topk_slice_batch), invoked in-process per salt slice so
+    # the engagement counter is observable; slices merge to the global top-k
+    from solrutils_spark.query.exact import query_terms
+
+    terms = query_terms(q)
+    dfs = reader.term_dfs(terms)
+    plans = [(0, {t: reader.idf(dfs[t]) for t in terms if dfs.get(t)}, 5)]
+    cand = reader._candidate_rows(terms).toPandas()
+    before = wand.KERNEL_STATS["lookup_on"]
+    merged = []
+    for _salt, slice_pdf in cand.groupby("salt"):
+        for _qid, d, s in topk_slice_batch(
+            slice_pdf, plans, float(reader.stats["avgdl"])
+        ):
+            merged.extend(zip(d.tolist(), s.tolist()))
+    assert wand.KERNEL_STATS["lookup_on"] > before, "batch lookup never engaged"
+    merged.sort(key=lambda x: (-x[1], x[0]))
+    got_b = merged[:5]
+    assert [d for d, _ in got_b] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got_b, expected):
+        assert gs == _pytest.approx(es, abs=1e-9), f"batch doc {gd}"
+
+    # distributed batch path: parity end-to-end (counter lives in workers)
+    res = reader.search_batch([(7, q, 5)]).orderBy("rank").collect()
+    assert [(r["doc_id"], r["score"]) for r in res] == [
+        (d, _pytest.approx(s, abs=1e-9)) for d, s in expected
+    ]
