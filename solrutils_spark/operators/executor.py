@@ -114,8 +114,14 @@ class PlanExecutor:
         else:
             ordered = self._sorted(domain, plan)
             hits = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
-            if self._fl(plan):
-                hits = hits.select(*self._fl(plan))
+            fl = self._fl(plan)
+            if fl is None and "content" in hits.columns and len(hits.columns) > 1:
+                # default response omits the document body — the scored path's
+                # fetch() default does the same; callers get it back via fl.
+                # Keeps content bytes off the driver collect.
+                fl = [c for c in hits.columns if c != "content"]
+            if fl:
+                hits = hits.select(*fl)
             facet_domain = domain if need_facets else None
 
         # ONE domain computation per request: numFound + every facet family

@@ -137,18 +137,20 @@ class IndexReader:
         twin is a salt-bucketed index table kept resident on the serving
         executors.
 
-        ``num_partitions``: fewer/fatter cached partitions cut the per-JOB
-        fixed cost (task scheduling + one python-worker round-trip per
-        non-empty partition; the round-4 two-point fit measured a 2.46 s/job
-        floor at local[8] over ``shuffle.partitions`` slices). Default: one
-        partition per core (``defaultParallelism``) — each serving task then
-        runs several salt kernels back to back in ONE worker while the job
-        still fans out across every core. Raise it on a real cluster to
-        ~2-4x total executor cores; the per-query Exchange stays elided
-        either way."""
-        if num_partitions is None:
-            num_partitions = self.spark.sparkContext.defaultParallelism
-        self.index = self.index.repartition(int(num_partitions), "salt").persist()
+        ``num_partitions``: tuning knob for the cached partition count
+        (default: ``spark.sql.shuffle.partitions``, the engine's standing
+        4x-cores setting). A round-5 experiment defaulted this to one
+        partition per core hoping to cut the measured ~2.5 s/job batch
+        floor (fewer tasks + python-worker round-trips); measured at 1M
+        docs it did the OPPOSITE — the per-job shared slice decode spreads
+        over 64 salt groups, and 4x-cores small tasks let the scheduler
+        rebalance them while core-count fat tasks serialize ~8 salts behind
+        the slowest sibling (fixed cost 2.46 → 3.33 s, short batches −12%).
+        Keep several tasks per core here, exactly as on a real cluster."""
+        if num_partitions is not None:
+            self.index = self.index.repartition(int(num_partitions), "salt").persist()
+        else:
+            self.index = self.index.repartition("salt").persist()
         self.index.count()
         return self
 
@@ -335,16 +337,25 @@ class IndexReader:
         BATCH_DDL = "query_id long, doc_id long, score double"
 
         def _rows(results) -> pd.DataFrame:
-            outs = [
-                pd.DataFrame({"query_id": qid, "doc_id": d, "score": s})
-                for qid, d, s in results
-                if d.size
-            ]
-            if not outs:
+            # ONE DataFrame per slice from concatenated numpy arrays — a
+            # per-query pd.DataFrame + pd.concat here costs ~20-50 µs ×
+            # |queries| × 64 slices per job, a measurable slice of the
+            # batch's per-query marginal cost at 1M docs
+            live = [(qid, d, s) for qid, d, s in results if d.size]
+            if not live:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                     {"query_id": "int64", "doc_id": "int64", "score": "float64"}
                 )
-            return pd.concat(outs, ignore_index=True)
+            qids = np.concatenate(
+                [np.full(d.size, qid, dtype=np.int64) for qid, d, _ in live]
+            )
+            return pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "doc_id": np.concatenate([d for _, d, _ in live]),
+                    "score": np.concatenate([s for _, _, s in live]),
+                }
+            )
 
         cand = self._candidate_rows(live_terms)
         if filter_df is not None:

@@ -361,12 +361,10 @@ def topk_slice_batch(
     # is one salt slice (~n_docs/num_salts), so the array is small and the
     # per-query alloc trivial next to the shared decode above.
     base = hi = None
-    max_tfn: dict[str, float] = {}
     for t, (d, tfn) in decoded.items():
         if d.size:
             base = int(d[0]) if base is None else min(base, int(d[0]))
             hi = int(d[-1]) if hi is None else max(hi, int(d[-1]))
-            max_tfn[t] = float(tfn.max())  # exact per-slice bound, shared
     out = []
     if base is None:
         return out
@@ -379,44 +377,23 @@ def topk_slice_batch(
         )
         if not terms:
             continue
-        # MaxScore essential-terms cutoff (round 5, same argument as
-        # topk_rows): the decode above is shared, so the batch's MARGINAL
-        # per-query cost is the scatter-add over each term's slice postings
-        # — dominated by the Zipf-hot tail terms. Once θ (k-th best partial
-        # score, grows monotonically) STRICTLY exceeds the remaining terms'
-        # upper-bound sum, untouched docs are provably sub-top-k and the
-        # remaining terms only need adds on the touched set: a searchsorted
-        # gather (O(|touched| log n)) instead of an O(n) scatter. Touched
-        # docs receive identical contributions in identical order — returned
-        # scores stay bit-identical to the exhaustive accumulation (pinned
-        # by test_search_batch_rank_identical + the fuzz sweep).
-        ubs = np.array([idf_by_term[t] * max_tfn[t] for t in terms])
-        rem_incl = np.cumsum(ubs[::-1])[::-1]  # ub of term i..end
+        # Deliberately EXHAUSTIVE — no MaxScore here. The decode above is
+        # shared across the batch, so the per-query marginal cost is just
+        # the vectorized scatter-add (~1-2 ops/posting, memory-bound). A
+        # round-5 experiment added the same θ-cutoff the serving kernels
+        # use; at 1M docs (15.6k-doc slices) the per-term O(span)
+        # ``scores > 0`` θ refresh DOUBLED the measured marginal cost
+        # (5.84 → 12.5 ms/query, BENCH/SERVING_PROBE_run3 vs the r5 rerun)
+        # because there is no decode left to skip — MaxScore only pays when
+        # it gates decode (topk_rows / topk_slice, where it stays).
         scores = np.zeros(span, dtype=np.float64)
-        theta = -np.inf
-        touched_loc: np.ndarray | None = None  # sorted local ids at switch
-        any_touch = False
-        for i, t in enumerate(terms):
+        touched = 0
+        for t in terms:
             dloc = dloc_by_term[t]
             _, tfn = decoded[t]
-            if touched_loc is None and np.isfinite(theta) and theta > rem_incl[i]:
-                touched_loc = np.flatnonzero(scores > 0)  # one O(span) pass
-                KERNEL_STATS["lookup_on"] += 1
-            if touched_loc is not None:
-                pos = np.searchsorted(dloc, touched_loc)
-                pos = np.minimum(pos, dloc.size - 1)
-                hit = dloc[pos] == touched_loc
-                sel = pos[hit]
-                if sel.size:
-                    scores[touched_loc[hit]] += idf_by_term[t] * tfn[sel]
-                continue
             scores[dloc] += idf_by_term[t] * tfn  # unique per term: exact
-            any_touch = True
-            if i + 1 < len(terms):
-                tv = scores[scores > 0]
-                if tv.size >= k:
-                    theta = np.partition(tv, tv.size - k)[tv.size - k]
-        if not any_touch:
+            touched += dloc.size
+        if touched == 0:
             continue
         sel = _dense_topk(scores, k)
         out.append((qid, sel + base, scores[sel]))

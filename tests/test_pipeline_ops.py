@@ -378,7 +378,7 @@ def test_multimodal_plumbing(spark):
     meta = payload_metadata(mm)
     rows = meta.collect()
     assert all(r["payload_sha256"] for r in rows)
-    for mime in ("image/jpeg", "image/bmp", "audio/wav", "video/x-rawv"):
+    for mime in ("image/jpeg", "image/bmp", "image/gif", "audio/wav", "video/x-rawv"):
         typed = [r for r in rows if r["meta"]["mime"] == mime]
         assert typed and all(r["sniffed_mime"] == mime for r in typed), mime
 
@@ -418,8 +418,9 @@ def test_multimodal_real_decode(spark):
     assert np.abs(arr - sig).max() < 1e-3
 
     mm = synth_multimodal(spark, 30).cache()
-    # distributed resize over the decodable image rows
-    bmp = mm.filter("meta.mime = 'image/bmp'")
+    # distributed resize over the decodable image rows (BMP + GIF; resize
+    # re-encodes as BMP so the GIF rows also pin decode-under-Arrow)
+    bmp = mm.filter("meta.mime IN ('image/bmp', 'image/gif')")
     resized = resize_images(bmp, 6, 4).collect()
     assert resized and all(
         decode_image(bytes(r["payload"])).shape == (4, 6, 3) for r in resized
@@ -435,7 +436,7 @@ def test_multimodal_real_decode(spark):
     assert all(decode_image(bytes(r["frame"])).shape == (8, 8, 3) for r in sparse)
 
     # real features over every decodable modality
-    dec = mm.filter("meta.mime IN ('image/bmp', 'audio/wav')")
+    dec = mm.filter("meta.mime IN ('image/bmp', 'image/gif', 'audio/wav')")
     feats = extract_features(dec, feature_fn=real_feature).collect()
     assert feats and all(len(r["feature"]) == 64 for r in feats)
 
@@ -607,6 +608,70 @@ def test_png_roundtrip_and_variants():
                   + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         decode_image(interlaced)
+
+
+def test_gif_roundtrip_and_variants():
+    """Round-4 verdict #6 follow-on: GIF decode with no codec library (LZW
+    is pure Python; palette/interlace numpy). Round-trips through the exact-
+    palette encoder, decodes an interlaced fixture, skips extensions, and
+    narrows the codec waiver to JPEG/MP3/MP4."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from solrutils_spark.operators.multimodal import (
+        _lzw_decode, _lzw_encode, decode_image, encode_gif, real_feature)
+
+    rng = _np.random.default_rng(13)
+    # palette image (7 colors) — lossless round-trip
+    pal = rng.integers(0, 256, size=(7, 3), dtype=_np.uint8)
+    img = pal[rng.integers(0, 7, size=(11, 17))]
+    assert (decode_image(encode_gif(img)) == img).all()
+
+    # big noisy 256-color image: LZW table hits the 4096 cap → exercises
+    # code-width growth to 12 bits and the deferred-clear path on BOTH sides
+    pal256 = _np.array([[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)],
+                       dtype=_np.uint8)
+    big = pal256[rng.integers(0, 256, size=(120, 150))]
+    assert (decode_image(encode_gif(big)) == big).all()
+
+    # raw LZW round-trip at the smallest legal code size
+    idx = rng.integers(0, 4, size=500).astype(_np.int64)
+    assert _lzw_decode(_lzw_encode(idx, 2), 2) == idx.tolist()
+
+    # hand-built GIF89a with a graphic-control extension (must be skipped),
+    # an 87a header variant, and an interlaced frame
+    small = pal[rng.integers(0, 7, size=(8, 5))]
+    plain = encode_gif(small)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # ext intro, GCE label, blocks
+    gct_len = 3 * 8  # 7 colors → mcs 3 → 8 padded entries
+    with_ext = plain[: 13 + gct_len] + gce + plain[13 + gct_len :]
+    assert (decode_image(with_ext) == small).all()
+    assert (decode_image(b"GIF87a" + plain[6:]) == small).all()
+
+    # interlaced: permute rows into GIF's 4-pass order, set the interlace
+    # bit, and re-encode the permuted pixels — decode must undo the pass
+    h = small.shape[0]
+    order = _np.concatenate([_np.arange(0, h, 8), _np.arange(4, h, 8),
+                             _np.arange(2, h, 4), _np.arange(1, h, 2)])
+    inter = encode_gif(small[order])
+    idesc_at = 13 + gct_len
+    assert inter[idesc_at] == 0x2C
+    ipacked = idesc_at + 9
+    inter = inter[:ipacked] + bytes([inter[ipacked] | 0x40]) + inter[ipacked + 1 :]
+    assert (decode_image(inter) == small).all()
+
+    # real_feature now accepts GIF; >256 colors and JPEG stay gated
+    assert real_feature(plain).shape == (64,)
+    px = _np.arange(17 * 20)  # 340 distinct (r, g, b) triples
+    many = _np.stack([px % 256, px // 256, px % 251], axis=1).astype(_np.uint8)
+    with _pytest.raises(ValueError):
+        encode_gif(many.reshape(17, 20, 3))
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3B")
 
 
 def test_ivf_probe_is_partition_pruning(spark, tmp_path):
