@@ -36,7 +36,7 @@ REPO = Path(__file__).resolve().parent
 
 WORKER = r"""
 import json, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "__REPO__")
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -51,6 +51,10 @@ K, THRESH, BANDS, PERM = 5, 0.8, 16, 64
 spark = get_spark(app_name="dedup1m", master="local[32]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, 8000, numPartitions=8).mapInPandas(lambda it: it, "id long").count()
+
+
+def mark(name, sec):  # unbuffered per-stage progress so a tail shows where we are
+    print(f"STAGE {name} {sec}", file=sys.stderr, flush=True)
 
 
 def gen(batches):
@@ -74,43 +78,62 @@ docs = (spark.range(0, n_docs, numPartitions=64)
         .mapInPandas(gen, "doc_id long, text string").persist())
 n0 = docs.count()
 stage = {"materialize_corpus": round(time.perf_counter() - t0, 2)}
+mark("materialize_corpus", stage["materialize_corpus"])
 
 # --- per-stage walls (inputs cached so stages don't re-pay upstream) ------
 t0 = time.perf_counter()
 exact = dedup_exact_keep_first(docs).persist()
 n_exact = exact.count()
 stage["exact_dedup"] = round(time.perf_counter() - t0, 2)
+mark("exact_dedup", stage["exact_dedup"])
 
 t0 = time.perf_counter()
 sigs = minhash_signatures_jvm(exact, num_perm=PERM, shingle_k=K).persist()
 sigs.count()
 stage["jvm_signatures"] = round(time.perf_counter() - t0, 2)
+mark("jvm_signatures", stage["jvm_signatures"])
 
 t0 = time.perf_counter()
 cand = lsh_candidate_pairs(sigs, bands=BANDS, max_bucket_size=10_000).persist()
 n_cand = cand.count()
 stage["lsh_pairs"] = round(time.perf_counter() - t0, 2)
+mark("lsh_pairs", stage["lsh_pairs"])
 
 t0 = time.perf_counter()
-ver = verify_ngram_jaccard(cand, exact, threshold=THRESH, shingle_k=K).persist()
+ver_reg = []  # shingle sets feed BOTH join sides — persist so they build once
+ver = verify_ngram_jaccard(cand, exact, threshold=THRESH, shingle_k=K,
+                           cache_registry=ver_reg).persist()
 n_ver = ver.count()
 stage["jaccard_verify"] = round(time.perf_counter() - t0, 2)
+mark("jaccard_verify", stage["jaccard_verify"])
+for c in ver_reg:
+    c.unpersist(blocking=True)
 
 t0 = time.perf_counter()
 kept = near_dup_keep(exact, ver.select("id_a", "id_b")).filter(F.col("keep"))
 n_kept = kept.count()
 stage["cc_and_keep"] = round(time.perf_counter() - t0, 2)
+mark("cc_and_keep", stage["cc_and_keep"])
 
-# --- the one-call path, cold (no reuse of the stage caches above) ---------
+# --- the one-call path, genuinely cold ------------------------------------
+# the stage caches above MUST be dropped first: Spark's CacheManager does
+# plan-fragment matching, so dedup_corpus's internal exact/signature/verify
+# plans would silently resolve to the cached stage results (first run of
+# this probe reported a 7.6 s "cold" one-call at 1M for exactly that reason)
+for c in (exact, sigs, cand, ver):
+    c.unpersist(blocking=True)
 t0 = time.perf_counter()
-n_onecall = dedup_corpus(docs, num_perm=PERM, bands=BANDS,
-                         threshold=THRESH, shingle_k=K).count()
-one_call = round(time.perf_counter() - t0, 2)
-
-# --- invariants -----------------------------------------------------------
+reg = []  # dedup_corpus persists its intermediates into this for cleanup
 out = dedup_corpus(docs, num_perm=PERM, bands=BANDS,
-                   threshold=THRESH, shingle_k=K).persist()
-n_out = out.count()
+                   threshold=THRESH, shingle_k=K, cache_registry=reg).persist()
+n_onecall = out.count()  # timed wall includes the persist write (small)
+one_call = round(time.perf_counter() - t0, 2)
+mark("one_call", one_call)
+for c in reg:
+    c.unpersist(blocking=True)
+
+# --- invariants (reuse the one-call result) -------------------------------
+n_out = n_onecall
 max_hash_group = (out.groupBy(F.sha2("text", 256)).count()
                   .agg(F.max("count")).first()[0])
 # every planted exact dup (member 1) must be gone
@@ -145,12 +168,14 @@ spark.stop()
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write(WORKER.format(repo=str(REPO)))
+        f.write(WORKER.replace("__REPO__", str(REPO)))
         path = f.name
     try:
         t0 = time.time()
+        # stderr inherits (STAGE marks + Spark progress stay tail-able live);
+        # stdout is captured for the RESULT line
         out = subprocess.run([sys.executable, path, str(n_docs)],
-                             capture_output=True, text=True, timeout=5400)
+                             stdout=subprocess.PIPE, text=True, timeout=5400)
     finally:
         os.unlink(path)
     for line in out.stdout.splitlines():
@@ -162,7 +187,7 @@ def main() -> None:
                 json.dump(result, fh, indent=2)
             print(json.dumps(result, indent=2))
             return
-    raise RuntimeError(f"worker failed:\n{out.stdout[-3000:]}\n{out.stderr[-3000:]}")
+    raise RuntimeError(f"worker failed:\n{out.stdout[-3000:]}")
 
 
 if __name__ == "__main__":

@@ -59,22 +59,34 @@ def _shingles(text: str, k: int = 5) -> list[str]:
 _WS_RE = r"(?U)[\s\x1c-\x1f]+"
 
 
-def _shingles_col(text_col, k: int):
-    """Column twin of :func:`_shingles` (whole-stage codegen — shared by the
-    JVM minhash signatures and the JVM jaccard verify).
+def _tokens_col(text_col):
+    """Python ``str.split()``-equivalent token array as a Column expression.
 
-    Tokenization matches Python ``str.split()`` exactly: empty tokens are
-    FILTERED, so boundary ``\\t/\\n/\\r`` (e.g. a trailing newline, ubiquitous
-    in file-derived corpora) never injects an empty-string token (round 2
-    used ``F.trim`` — space-only — so such texts grew a phantom token that
-    perturbed every shingle and let trailing-newline near-dups escape the
-    verify stage), and the split class is Unicode-aware (``_WS_RE``: Java
-    ``\\s`` is ASCII-only by default, so U+00A0 etc. would diverge from the
-    Python oracle)."""
+    Empty tokens are FILTERED, so boundary ``\\t/\\n/\\r`` (e.g. a trailing
+    newline, ubiquitous in file-derived corpora) never injects an
+    empty-string token (round 2 used ``F.trim`` — space-only — so such texts
+    grew a phantom token that perturbed every shingle and let
+    trailing-newline near-dups escape the verify stage), and the split class
+    is Unicode-aware (``_WS_RE``: Java ``\\s`` is ASCII-only by default, so
+    U+00A0 etc. would diverge from the Python oracle)."""
     t = text_col if not isinstance(text_col, str) else F.col(text_col)
-    toks = F.filter(
+    return F.filter(
         F.split(F.coalesce(t, F.lit("")), _WS_RE), lambda x: F.length(x) > 0
     )
+
+
+def _shingles_from_tokens(toks, k: int):
+    """Shingle array from an ALREADY-MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference (an attribute), not an inline
+    expression: this builder references it ~5 times (three size() branches,
+    the array_join, and the slice inside the transform lambda), and Catalyst
+    substitutes expression trees textually — an inline ``filter(split(text))``
+    here is re-evaluated per shingle INDEX, i.e. O(tokens²) per doc in
+    interpreted (non-codegen) higher-order-function eval. The 1M probe
+    measured that variant at 790 s (signatures) / 1,411 s (verify); with the
+    tokens projected first both stages are O(tokens·k). Use
+    :func:`_with_shingle_arr` on hot paths."""
     n = F.size(toks)
     return (
         F.when(n == 0, F.array().cast("array<string>"))
@@ -85,6 +97,30 @@ def _shingles_col(text_col, k: int):
                 lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
             )
         )
+    )
+
+
+def _shingles_col(text_col, k: int):
+    """Column twin of :func:`_shingles` as a single inline expression.
+
+    Kept for tests and tiny frames ONLY — the inline form re-evaluates the
+    tokenizer per shingle index (see :func:`_shingles_from_tokens`); hot
+    paths go through :func:`_with_shingle_arr`, which produces the identical
+    strings (pinned by test_dedup_fuzz)."""
+    return _shingles_from_tokens(_tokens_col(text_col), k)
+
+
+def _with_shingle_arr(df: DataFrame, text_col: str, k: int, out_col: str) -> DataFrame:
+    """``df`` + ``out_col`` = shingle array, with the token array materialized
+    in its OWN projection so ``split``+``filter`` runs once per row.
+
+    CollapseProject keeps the two projections separate because ``__toks`` is
+    a non-cheap expression referenced multiple times by the shingle builder —
+    pinned by a plan test so an optimizer change can't silently reintroduce
+    the O(tokens²) inline shape."""
+    tdf = df.withColumn("__toks", _tokens_col(text_col))
+    return tdf.withColumn(out_col, _shingles_from_tokens(F.col("__toks"), k)).drop(
+        "__toks"
     )
 
 
@@ -216,14 +252,30 @@ def minhash_signatures_jvm(
     recall, and both are deterministic.
     """
     # same shingle rule as _shingles(): <k tokens → one joined shingle; empty → none
-    exploded = df.select(
-        id_col, F.explode_outer(_shingles_col(text_col, shingle_k)).alias("_sh")
+    # Tokens are materialized in their own projection (_with_shingle_arr) —
+    # the dominant cost of the 790 s/900k-doc round-4 signature stage was the
+    # inline shingle expression re-running split() per shingle index
+    # (O(tokens²) interpreted eval), not the hashing.
+    # Each shingle STRING is hashed once; the num_perm permutation values are
+    # derived by re-hashing the resulting LONG with per-permutation seeds:
+    # 8-byte rehashes cost a small constant vs scanning a ~40-char string per
+    # permutation. Independence across seeds is exactly what LSH needs;
+    # values differ from the round-3 layout but signature semantics are
+    # unchanged (partition invariance + recall pinned by test_dedup_fuzz).
+    exploded = _with_shingle_arr(df, text_col, shingle_k, "_sh_arr").select(
+        id_col, F.explode_outer(F.col("_sh_arr")).alias("_sh")
+    ).select(
+        id_col,
+        # guard BEFORE hashing: xxhash64 silently maps NULL to the seed
+        F.when(F.col("_sh").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64(F.col("_sh")))
+        .alias("_h0"),
     )
     sentinel = (1 << 63) - 1  # empty docs: all-sentinel signature
     aggs = [
         F.min(
-            F.when(F.col("_sh").isNull(), F.lit(sentinel)).otherwise(
-                F.xxhash64(F.col("_sh"), F.lit(i))
+            F.when(F.col("_h0").isNull(), F.lit(sentinel)).otherwise(
+                F.xxhash64(F.col("_h0"), F.lit(i))
             )
         ).alias(f"_m{i}")
         for i in range(num_perm)
@@ -344,6 +396,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     max_bucket_size: int | None = None,
     impl: str = "jvm",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline → verified near-dup pairs with jaccard ≥ τ.
 
@@ -354,11 +407,22 @@ def minhash_dedup_pairs(
     At 100 TB set ``max_bucket_size`` (e.g. 10_000) — boilerplate corpora
     produce degenerate band buckets whose B² pair blow-up otherwise dominates
     the join (see :func:`lsh_candidate_pairs`).
+
+    ``cache_registry``: the candidate-pair frame is referenced three times by
+    the verify stage (two union legs of the id set + the final pair join);
+    pass a list to persist it (and verify's shared shingle sets) so the
+    signature+LSH chain runs once, not three times. Persisted frames are
+    appended for caller-controlled ``unpersist()``.
     """
     sig_fn = minhash_signatures_jvm if impl == "jvm" else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_perm, shingle_k)
     cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket_size)
-    return verify_ngram_jaccard(cands, df, text_col, id_col, threshold, shingle_k)
+    if cache_registry is not None:
+        cands = cands.persist()
+        cache_registry.append(cands)
+    return verify_ngram_jaccard(
+        cands, df, text_col, id_col, threshold, shingle_k, cache_registry
+    )
 
 
 # -------------------------------------------------------------- simhash ----
@@ -586,6 +650,7 @@ def dedup_corpus(
     threshold: float = 0.8,
     shingle_k: int = 5,
     max_bucket_size: int | None = 10_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """ONE-CALL training-data dedup: exact (sha256 hash-groupBy, lowest id
     kept) → MinHash+LSH near-dup pairs (all-JVM signatures, capped buckets) →
@@ -593,13 +658,26 @@ def dedup_corpus(
     member per cluster. Returns the surviving rows of ``df``.
 
     This is the operator a 100 TB pipeline actually calls; every stage is a
-    bounded-shuffle DataFrame transform (see the per-stage docstrings)."""
+    bounded-shuffle DataFrame transform (see the per-stage docstrings).
+
+    Intermediates ARE persisted: the exact-dedup frame is consumed by the
+    signature build, both verify join sides, and the final keep join —
+    without a cache one action recomputes the full corpus window ~4× (the 1M
+    probe's cold one-call ran >80 min uncached vs minutes cached). Pass
+    ``cache_registry`` (a list) to receive the persisted frames and
+    ``unpersist()`` them when the RESULT has been materialized; with the
+    default ``None`` they stay cached for the session (MEMORY_AND_DISK, sized
+    by the deduped corpus + candidate pairs)."""
+    registry = cache_registry if cache_registry is not None else []
     out = dedup_exact_keep_first(df, text_col, id_col) if exact else df
     if near:
+        out = out.persist()
+        registry.append(out)
         pairs = minhash_dedup_pairs(
             out, text_col, id_col,
             num_perm=num_perm, bands=bands, threshold=threshold,
             shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+            cache_registry=registry,
         )
         out = (
             near_dup_keep(out, pairs.select("id_a", "id_b"), id_col)
@@ -618,18 +696,37 @@ def verify_ngram_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 5,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle SETS for candidate pairs — all JVM.
 
-    Shingling is the shared codegen expression (:func:`_shingles_col`);
+    Shingling is the materialized-token path (:func:`_with_shingle_arr`);
     |A∩B| / |A∪B| is ``array_intersect``/``array_union`` size arithmetic
     (both dedup, matching the Python set semantics; empty∪empty → 1.0).
-    Only candidate rows' shingle arrays move through the two joins — no
-    Python anywhere in the verify stage (round-1 ran a per-pair Python
-    set-ops loop here)."""
-    sets = df.select(
-        F.col(id_col), F.array_distinct(_shingles_col(text_col, shingle_k)).alias("_sset")
+
+    Shingle arrays are computed ONLY for docs that appear in a candidate
+    pair (semi-join first): candidates ≪ corpus at scale, and the 1M probe
+    measured the compute-sets-for-everyone variant at 1,411 s — the whole
+    stage was shingling 900k docs to verify 100k pairs. No Python anywhere
+    in the verify stage (round-1 ran a per-pair Python set-ops loop).
+
+    ``sets`` feeds BOTH sides of the pair join, so without a cache the whole
+    upstream chain (corpus scan → semi-join → shingling — and, called from
+    :func:`dedup_corpus`, the exact-dedup window and the LSH candidate
+    generation too) executes twice. Pass ``cache_registry`` (a list) to
+    persist it; the persisted DataFrame is appended for caller-controlled
+    ``unpersist()``."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    sets = _with_shingle_arr(
+        df.join(cand_ids, id_col, "leftsemi"), text_col, shingle_k, "_sh_arr"
+    ).select(F.col(id_col), F.array_distinct(F.col("_sh_arr")).alias("_sset"))
+    if cache_registry is not None:
+        sets = sets.persist()
+        cache_registry.append(sets)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sset").alias("_sa"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sset").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")

@@ -471,6 +471,60 @@ def test_shingles_col_matches_python_on_boundary_whitespace(spark):
         assert g == _shingles(t or "", 5), repr(t)
 
 
+def test_shingle_tokens_materialized_once(spark):
+    """The shingle hot paths must keep the token array in its OWN projection:
+    inlining filter(split(text)) into the shingle builder re-evaluates the
+    split per shingle INDEX — O(tokens²) interpreted eval (the r4 1M probe
+    measured 790 s signatures / 1,411 s verify from exactly this). Pin the
+    optimized-plan shape so a CollapseProject change can't reintroduce it."""
+    from solrutils_spark.operators.dedup import (
+        _with_shingle_arr, minhash_signatures_jvm, verify_ngram_jaccard)
+
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array(*[(F.col("id") * (j + 1) % 13).cast("string")
+                                   for j in range(12)])).alias("text"))
+
+    def nsplits(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("split(")
+
+    # one tokenizer eval per row in each shingle-producing subplan
+    assert nsplits(_with_shingle_arr(docs, "text", 5, "sh")) == 1
+    assert nsplits(minhash_signatures_jvm(docs, num_perm=8)) == 1
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    # verify has two join sides over the shared sets frame → exactly 2
+    assert nsplits(verify_ngram_jaccard(pairs, docs)) == 2
+
+
+def test_dedup_corpus_cache_registry_equivalent(spark):
+    """dedup_corpus(cache_registry=...) must return the same surviving rows
+    as the uncached call, hand back persisted frames, and leave nothing
+    cached after the caller unpersists them."""
+    from solrutils_spark.operators.dedup import dedup_corpus
+
+    rows = []
+    for g in range(30):
+        base = f"line{g} " + " ".join(f"w{g}_{j}" for j in range(12))
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base))                       # exact dup
+        rows.append((g * 10 + 2, base + " tail"))             # near dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    reg: list = []
+    got = sorted(r.doc_id for r in dedup_corpus(
+        docs, bands=16, threshold=0.5, shingle_k=3, cache_registry=reg).collect())
+    assert reg, "registry should receive the persisted intermediates"
+    for c in reg:
+        c.unpersist(blocking=True)
+    assert not any(c.is_cached for c in reg)
+    reg2: list = []
+    want = sorted(r.doc_id for r in dedup_corpus(
+        docs, bands=16, threshold=0.5, shingle_k=3, cache_registry=reg2).collect())
+    for c in reg2:
+        c.unpersist(blocking=True)
+    assert got == want
+
+
 def test_similarity_large_dim_smoke(spark):
     """Bounded-memory guarantees at realistic embedding scale: 768-dim
     vectors with 64 centroids (chunked ||x||²+||c||²−2x·c assignment — never
