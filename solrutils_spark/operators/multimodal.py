@@ -6,14 +6,17 @@ container-friendly formats (pure stdlib + numpy, no codec libraries):
 
 - images: 24-bit uncompressed BMP, binary PPM (P6), PNG (8-bit
   gray/gray+alpha/RGB/RGBA/palette, non-interlaced — zlib is stdlib and
-  unfiltering is numpy), and GIF87a/89a first frame (LZW is pure Python,
-  palettes/interlace are numpy)
+  unfiltering is numpy), GIF87a/89a first frame (LZW is pure Python,
+  palettes/interlace are numpy), and baseline JPEG (SOF0/1, 8-bit, up to
+  2x2 sampling — Huffman + IDCT in pure Python/numpy, ``jpegcodec.py``;
+  progressive JPEG raises loudly)
 - audio:  RIFF/WAVE PCM (8/16-bit, any channel count → mono float32)
 
-Formats that genuinely need a codec library (JPEG/MP3/MP4) stay gated
-behind ``NotImplementedError`` — libjpeg/ffmpeg are not in this container;
-at deployment, register a codec-backed ``feature_fn``/decoder with the SAME
-signatures (the batching, schema and fan-out shapes below are production).
+Formats that genuinely need a codec library (progressive JPEG/MP3/MP4)
+stay gated behind ``NotImplementedError`` — ffmpeg/libjpeg are not in this
+container; at deployment, register a codec-backed ``feature_fn``/decoder
+with the SAME signatures (the batching, schema and fan-out shapes below
+are production).
 
 Schema convention for a multimodal table::
 
@@ -367,9 +370,11 @@ def _decode_gif(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → (h, w, 3) uint8 RGB. Real for BMP/PPM/PNG/GIF (PNG via
-    stdlib zlib + numpy unfiltering; GIF via pure-Python LZW); JPEG needs a
-    codec library (honest gate, see module docstring)."""
+    """binary → (h, w, 3) uint8 RGB. Real for BMP/PPM/PNG/GIF/baseline-JPEG
+    (PNG via stdlib zlib + numpy unfiltering; GIF via pure-Python LZW; JPEG
+    via the pure-Python/numpy baseline codec in ``jpegcodec.py``);
+    progressive JPEG and video frames need a codec library (honest gate,
+    see module docstring)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -378,8 +383,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from solrutils_spark.operators.jpegcodec import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.shape[2] == 1:  # grayscale stream → RGB convention
+            img = np.repeat(img, 3, axis=2)
+        return img
     raise NotImplementedError(
-        "compressed image decode (JPEG/...) requires an image codec library"
+        "image decode for this format requires an image codec library"
     )
 
 
@@ -432,7 +444,7 @@ def real_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     - audio: 60 block-averaged |rFFT| log-magnitudes + rms/zero-crossing-
       rate/duration/rate → 64 dims
     """
-    if (payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_SIG
+    if (payload[:2] in (b"BM", b"P6", b"\xff\xd8") or payload[:8] == _PNG_SIG
             or payload[:6] in (b"GIF87a", b"GIF89a")):
         img = decode_image(payload).astype(np.float64)
         grid = resize_image(img.astype(np.uint8), 4, 4).astype(np.float64)
@@ -491,7 +503,7 @@ def extract_features(
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload") -> DataFrame:
     """Decode → nearest-neighbour resize → re-encode BMP, Arrow-batched.
-    Real for BMP/PPM/PNG/GIF payloads; JPEG raises (codec gate)."""
+    Real for BMP/PPM/PNG/GIF/baseline-JPEG payloads; progressive JPEG raises (codec gate)."""
     cols = df.columns
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -580,14 +592,19 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def synth_multimodal(spark, n: int = 100) -> DataFrame:
     """Deterministic multimodal table for tests: REAL decodable payloads
     (BMP/PNG/GIF images, PCM WAVs, RAWV clips) interleaved with codec-gated
-    fakes (JPEG magic + seeded bytes) so both paths are exercised."""
+    progressive-JPEG fakes so both paths are exercised."""
     rows = []
     for i in range(n):
         seed = int.from_bytes(hashlib.sha256(f"mm:{i}".encode()).digest()[:8], "big")
         rng = np.random.default_rng(seed)
         kind = i % 6
         if kind == 0:
-            payload = b"\xff\xd8\xff\xe0" + hashlib.sha256(f"mm:{i}".encode()).digest() * 4
+            # a structurally-valid PROGRESSIVE prefix (SOF2): keeps the
+            # codec gate exercised now that baseline JPEG decodes for real
+            payload = (b"\xff\xd8"
+                       + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                       + b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+                       + hashlib.sha256(f"mm:{i}".encode()).digest() * 4)
             modality, mime, w, h, dur, sr = "image", "image/jpeg", 640, 480, None, None
         elif kind == 1:
             img = rng.integers(0, 256, size=(10, 14, 4), dtype=np.uint8)

@@ -657,7 +657,9 @@ def test_png_roundtrip_and_variants():
 
     # honest gates survive
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        decode_image(  # progressive JPEG (SOF2) — still codec-gated
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     interlaced = (_PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
                   + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
@@ -723,9 +725,58 @@ def test_gif_roundtrip_and_variants():
     with _pytest.raises(ValueError):
         encode_gif(many.reshape(17, 20, 3))
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        decode_image(  # progressive JPEG (SOF2) — still codec-gated
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     with _pytest.raises(ValueError):
         decode_image(b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3B")
+
+
+def test_jpeg_roundtrip_and_variants():
+    """Round-5 follow-on to PNG (r4) and GIF: baseline JPEG decode with no
+    codec library (T.81 Huffman + numpy IDCT, ``jpegcodec.py``). Round-trips
+    the 4:4:4, 4:2:0 and grayscale encoder paths within quantization error,
+    decodes through the multimodal dispatch, and narrows the codec waiver to
+    progressive-JPEG/MP3/MP4."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from solrutils_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    from solrutils_spark.operators.multimodal import decode_image, real_feature
+
+    rng = _np.random.default_rng(17)
+    h, w = 33, 29  # deliberately not MCU-aligned (8 and 16 both ∤)
+    yy, xx = _np.mgrid[0:h, 0:w]
+    img = _np.stack([yy * 255 / h, xx * 255 / w, (yy + xx) * 255 / (h + w)], axis=-1)
+    img = _np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(_np.uint8)
+
+    for sub in (False, True):
+        dec = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
+        assert dec.shape == (h, w, 3)
+        err = _np.abs(dec.astype(float) - img.astype(float))
+        # smooth content at q92: stays within quantization error
+        assert err.mean() < 5 and err.max() < 32, (sub, err.mean(), err.max())
+
+    # grayscale stream → (h, w, 1), replicated to RGB by decode_image
+    g = _np.clip(yy * 255 / h + rng.normal(0, 3, (h, w)), 0, 255).astype(_np.uint8)
+    enc = encode_jpeg(g, quality=92)
+    assert decode_jpeg(enc).shape == (h, w, 1)
+    via_dispatch = decode_image(enc)
+    assert via_dispatch.shape == (h, w, 3)
+    assert (via_dispatch[..., 0] == via_dispatch[..., 1]).all()
+
+    # determinism + the real-feature path accepts JPEG now
+    assert encode_jpeg(img) == encode_jpeg(img)
+    f = real_feature(encode_jpeg(img))
+    assert f.shape == (64,) and f.dtype == _np.float32
+
+    # loud gates: progressive and non-8-bit refuse
+    prog = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
 
 
 def test_ivf_probe_is_partition_pruning(spark, tmp_path):
