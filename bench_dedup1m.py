@@ -39,6 +39,7 @@ import json, sys, time
 sys.path.insert(0, "__REPO__")
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 from solrutils_spark.session import get_spark
 from solrutils_spark.corpus import _content_for
@@ -75,14 +76,16 @@ def gen(batches):
 
 t0 = time.perf_counter()
 docs = (spark.range(0, n_docs, numPartitions=64)
-        .mapInPandas(gen, "doc_id long, text string").persist())
+        .mapInPandas(gen, "doc_id long, text string")
+        .persist(StorageLevel.MEMORY_AND_DISK))  # serialized: 3 corpus-sized
+        # caches coexist during one_call; the deser default OOMed 8g heap
 n0 = docs.count()
 stage = {"materialize_corpus": round(time.perf_counter() - t0, 2)}
 mark("materialize_corpus", stage["materialize_corpus"])
 
 # --- per-stage walls (inputs cached so stages don't re-pay upstream) ------
 t0 = time.perf_counter()
-exact = dedup_exact_keep_first(docs).persist()
+exact = dedup_exact_keep_first(docs).persist(StorageLevel.MEMORY_AND_DISK)
 n_exact = exact.count()
 stage["exact_dedup"] = round(time.perf_counter() - t0, 2)
 mark("exact_dedup", stage["exact_dedup"])
@@ -125,7 +128,8 @@ for c in (exact, sigs, cand, ver):
 t0 = time.perf_counter()
 reg = []  # dedup_corpus persists its intermediates into this for cleanup
 out = dedup_corpus(docs, num_perm=PERM, bands=BANDS,
-                   threshold=THRESH, shingle_k=K, cache_registry=reg).persist()
+                   threshold=THRESH, shingle_k=K,
+                   cache_registry=reg).persist(StorageLevel.MEMORY_AND_DISK)
 n_onecall = out.count()  # timed wall includes the persist write (small)
 one_call = round(time.perf_counter() - t0, 2)
 mark("one_call", one_call)

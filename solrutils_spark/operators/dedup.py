@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -671,7 +672,10 @@ def dedup_corpus(
     registry = cache_registry if cache_registry is not None else []
     out = dedup_exact_keep_first(df, text_col, id_col) if exact else df
     if near:
-        out = out.persist()
+        # corpus-sized → SERIALIZED memory+disk: the deserialized default
+        # holds JVM string objects (~2-3x the bytes) and OOMed an 8 GB
+        # driver at 1M docs once the probe's own caches coexisted with it
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
         registry.append(out)
         pairs = minhash_dedup_pairs(
             out, text_col, id_col,
@@ -725,7 +729,8 @@ def verify_ngram_jaccard(
         df.join(cand_ids, id_col, "leftsemi"), text_col, shingle_k, "_sh_arr"
     ).select(F.col(id_col), F.array_distinct(F.col("_sh_arr")).alias("_sset"))
     if cache_registry is not None:
-        sets = sets.persist()
+        # candidate-restricted but shingle arrays are fat → serialized level
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
         cache_registry.append(sets)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sset").alias("_sa"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sset").alias("_sb"))
