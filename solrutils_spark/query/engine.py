@@ -146,11 +146,21 @@ class IndexReader:
         over 64 salt groups, and 4x-cores small tasks let the scheduler
         rebalance them while core-count fat tasks serialize ~8 salts behind
         the slowest sibling (fixed cost 2.46 → 3.33 s, short batches −12%).
-        Keep several tasks per core here, exactly as on a real cluster."""
+        Keep several tasks per core here, exactly as on a real cluster.
+
+        Rows are sorted by ``(bucket, term)`` WITHIN each salt partition
+        before caching: InMemoryRelation keeps per-batch min/max stats and
+        skips non-matching batches at scan time, so a query's
+        ``bucket.isin & term.isin`` filter reads only the handful of cached
+        batches actually holding its terms instead of the whole slice
+        (zone-map pruning — the cluster twin is a term-sorted index segment
+        with sparse block index). ``sortWithinPartitions`` preserves the
+        salt hash-partitioning, so the per-query Exchange stays elided."""
         if num_partitions is not None:
-            self.index = self.index.repartition(int(num_partitions), "salt").persist()
+            part = self.index.repartition(int(num_partitions), "salt")
         else:
-            self.index = self.index.repartition("salt").persist()
+            part = self.index.repartition("salt")
+        self.index = part.sortWithinPartitions("bucket", "term").persist()
         self.index.count()
         return self
 
