@@ -570,6 +570,7 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Real (no codec needed): size + sha256 + magic-byte mime sniff, all
     JVM-side except the tiny sniff map."""
     magic = F.hex(F.substring(F.col(payload_col).cast("binary"), 1, 4))
+    brand = F.substring(F.col(payload_col).cast("binary"), 5, 4).cast("string")
     mime = (
         F.when(magic.startswith("FFD8"), "image/jpeg")
         .when(magic.startswith("89504E47"), "image/png")
@@ -579,6 +580,9 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(magic.startswith("52494646"), "audio/wav")
         .when(magic.startswith("52415756"), "video/x-rawv")
         .when(magic.startswith("494433"), "audio/mpeg")
+        .when(magic.startswith("FFFB") | magic.startswith("FFF3")
+              | magic.startswith("FFF2"), "audio/mpeg")
+        .when(brand == "ftyp", "video/mp4")
         .otherwise("application/octet-stream")
     )
     return df.select(
@@ -587,6 +591,162 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.sha2(F.col(payload_col), 256).alias("payload_sha256"),
         mime.alias("sniffed_mime"),
     )
+
+
+# --------------------------------------------------- container probing ----
+# MP4/MP3 DECODE genuinely needs codec libraries (the honest gate above),
+# but their CONTAINERS are plain structures: ISO-BMFF box walks and MPEG
+# frame headers are pure `struct` parsing. probe_* extract real dimensions/
+# duration/codec — what an ingest pipeline filters and shards on — without
+# touching a codec.
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box walk → {duration_ms, width, height, codec}.
+
+    Reads mvhd (timescale+duration), the first video trak's tkhd (16.16
+    fixed-point dims) and its stsd sample-entry fourcc. Handles 64-bit
+    (largesize) boxes and version-1 mvhd/tkhd. Raises ValueError on
+    non-BMFF payloads."""
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", payload, pos)[0]
+            typ = payload[pos + 8 - 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                size = struct.unpack_from(">Q", payload, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = hi - pos
+            if size < hdr:
+                raise ValueError("corrupt BMFF box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    out = {"duration_ms": None, "width": None, "height": None, "codec": None}
+
+    def scan(lo, hi):
+        for typ, blo, bhi in walk(lo, hi):
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                scan(blo, bhi)
+            elif typ == b"mvhd":
+                ver = payload[blo]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, blo + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, blo + 4 + 8)
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 / ts)
+            elif typ == b"tkhd" and not out["width"]:
+                ver = payload[blo]
+                off = blo + 4 + (32 if ver == 1 else 20) + 52
+                w, h = struct.unpack_from(">II", payload, off)
+                if w and h:
+                    out["width"], out["height"] = w >> 16, h >> 16
+            elif typ == b"stsd" and not out["codec"]:
+                n = struct.unpack_from(">I", payload, blo + 4)[0]
+                if n:
+                    out["codec"] = payload[blo + 12:blo + 16].decode(
+                        "ascii", "replace")
+
+    scan(0, len(payload))
+    return out
+
+
+_MP3_BITRATE = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATE = [44100, 48000, 32000]
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """MPEG-1 Layer III frame-header parse → {duration_ms, sample_rate,
+    bitrate_kbps, vbr}. Skips an ID3v2 tag, reads the first frame header,
+    honors a Xing/Info VBR frame count when present, else assumes CBR
+    (duration = payload_bits / bitrate). Raises ValueError if no frame
+    sync is found."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        sz = payload[6:10]
+        pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+    end = min(len(payload) - 4, pos + 65536)
+    while pos < end:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            break
+        pos += 1
+    else:
+        raise ValueError("no MPEG frame sync found")
+    b1, b2 = payload[pos + 1], payload[pos + 2]
+    if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+        raise ValueError("only MPEG-1 Layer III headers supported")
+    bitrate = _MP3_BITRATE[(b2 >> 4) & 0xF]
+    rate = _MP3_RATE[(b2 >> 2) & 0x3] if ((b2 >> 2) & 0x3) < 3 else 0
+    if not bitrate or not rate:
+        raise ValueError("free-format/bad MP3 header")
+    mode = (payload[pos + 3] >> 6) & 0x3
+    side = 17 if mode == 3 else 32  # MPEG-1 side info: mono 17, else 32
+    xing_off = pos + 4 + side
+    vbr = payload[xing_off:xing_off + 4] in (b"Xing", b"Info")
+    if (vbr and len(payload) >= xing_off + 12
+            and struct.unpack_from(">I", payload, xing_off + 4)[0] & 0x1):
+        frames = struct.unpack_from(">I", payload, xing_off + 8)[0]
+        duration_ms = int(frames * 1152 * 1000 / rate)
+    else:
+        duration_ms = int((len(payload) - pos) * 8 / (bitrate * 1000) * 1000)
+    return {"duration_ms": duration_ms, "sample_rate": rate,
+            "bitrate_kbps": bitrate, "vbr": vbr}
+
+
+def probe_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """df + ``probed struct<width int, height int, duration_ms int,
+    sample_rate int, codec string>`` — REAL values parsed from the payload
+    (BMFF box walk, MPEG frame headers, WAV/RAWV headers); null struct
+    fields where the format carries no such field or parsing fails.
+    Arrow-batched mapInPandas; the per-payload parsers touch headers only."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType(df.schema.fields + [StructField("probed", StructType([
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("codec", StringType()),
+    ]))])
+
+    def one(b: bytes):
+        w = h = d = sr = None
+        codec = None
+        try:
+            if len(b) >= 8 and b[4:8] == b"ftyp":
+                m = probe_mp4(b)
+                w, h, d, codec = m["width"], m["height"], m["duration_ms"], m["codec"]
+            elif b[:3] == b"ID3" or (len(b) > 2 and b[0] == 0xFF
+                                     and (b[1] & 0xE0) == 0xE0):
+                m = probe_mp3(b)
+                d, sr, codec = m["duration_ms"], m["sample_rate"], "mp3"
+            elif b[:4] == b"RIFF":
+                arr, rate = decode_audio(b)
+                d, sr, codec = int(arr.size * 1000 / max(1, rate)), rate, "pcm"
+            elif b[:4] == b"RAWV":
+                n, iv = struct.unpack_from("<II", b, 4)
+                d, codec = n * iv, "rawv"
+            else:
+                img = decode_image(bytes(b))
+                h, w = img.shape[:2]
+        except (ValueError, NotImplementedError):
+            pass
+        return (w, h, d, sr, codec)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["probed"] = pdf[payload_col].map(
+                lambda b: one(bytes(b)) if b is not None else (None,) * 5)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def synth_multimodal(spark, n: int = 100) -> DataFrame:

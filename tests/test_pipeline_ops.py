@@ -779,6 +779,70 @@ def test_jpeg_roundtrip_and_variants():
         decode_jpeg(b"\x89PNG not a jpeg")
 
 
+def test_container_probes(spark):
+    """MP4/MP3 DECODE stays codec-gated, but the CONTAINERS are plain
+    structures — probe_mp4/probe_mp3 parse real dimensions/duration/codec
+    from hand-built ISO-BMFF boxes and MPEG-1 Layer III frames, and
+    probe_payloads surfaces them as a typed struct column."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from solrutils_spark.operators.multimodal import (
+        encode_wav, payload_metadata, probe_mp3, probe_mp4, probe_payloads)
+    import numpy as _np
+
+    def box(typ, payload):
+        return _struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + _struct.pack(">II", 1000, 5000)
+               + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(20) + bytes(52)
+               + _struct.pack(">II", 640 << 16, 360 << 16))
+    stsd = box(b"stsd", bytes(4) + _struct.pack(">I", 1) + box(b"avc1", bytes(70)))
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsd))))
+    mp4 = (box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", mvhd + trak)
+           + box(b"mdat", bytes(32)))
+    m = probe_mp4(mp4)
+    assert m == {"duration_ms": 5000, "width": 640, "height": 360,
+                 "codec": "avc1"}
+
+    # 64-bit (largesize) mdat variant parses too
+    big_mdat = _struct.pack(">I", 1) + b"mdat" + _struct.pack(">Q", 16 + 32) + bytes(32)
+    assert probe_mp4(box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", mvhd + trak)
+                     + big_mdat)["width"] == 640
+
+    # MPEG-1 Layer III, 128 kbps @ 44100, CBR: frame = 144*128000/44100 = 417 B
+    frame = b"\xff\xfb\x90\x00" + bytes(413)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    mp3 = id3 + frame * 100
+    got = probe_mp3(mp3)
+    assert got["sample_rate"] == 44100 and got["bitrate_kbps"] == 128
+    assert not got["vbr"]
+    # CBR estimate: 41700 bytes at 128 kbps ≈ 2606 ms (100 frames ≈ 2612 ms)
+    assert abs(got["duration_ms"] - 2606) <= 20
+
+    with _pytest.raises(ValueError):
+        probe_mp4(b"notanmp4" * 4)
+    with _pytest.raises(ValueError):
+        probe_mp3(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + bytes(200))
+
+    # Spark surface: typed probed struct + mime sniff for mp4/mp3 magics
+    t = _np.arange(800) / 16000.0
+    wav = encode_wav(0.25 * _np.sin(2 * _np.pi * 440 * t), 16000)
+    df = spark.createDataFrame(
+        [(1, mp4), (2, mp3), (3, wav), (4, None)],
+        "item_id long, payload binary")
+    rows = {r["item_id"]: r for r in probe_payloads(df).collect()}
+    assert rows[1]["probed"]["width"] == 640
+    assert rows[1]["probed"]["codec"] == "avc1"
+    assert rows[2]["probed"]["sample_rate"] == 44100
+    assert rows[3]["probed"]["duration_ms"] == 50 and rows[3]["probed"]["codec"] == "pcm"
+    assert rows[4]["probed"]["codec"] is None
+    sniff = {r["item_id"]: r["sniffed_mime"] for r in payload_metadata(df).collect()}
+    assert sniff[1] == "video/mp4" and sniff[2] == "audio/mpeg"
+
+
 def test_ivf_probe_is_partition_pruning(spark, tmp_path):
     """The 100 TB claim for IVF (BENCH/ANN_PROBE.json) rests on the probe
     filter becoming PARTITION pruning when the table is written
