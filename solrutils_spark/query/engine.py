@@ -126,7 +126,8 @@ class IndexReader:
             self._docs = read_docs(self.spark, self.index_dir)
         return self._docs
 
-    def cache_for_serving(self, num_partitions: int | None = None) -> "IndexReader":
+    def cache_for_serving(self, num_partitions: int | None = None,
+                          sort_for_pruning: bool = False) -> "IndexReader":
         """Hot-index mode: repartition the postings by ``salt`` and persist.
 
         Every scored query stage is ``groupBy("salt").applyInPandas(...)``;
@@ -148,19 +149,25 @@ class IndexReader:
         the slowest sibling (fixed cost 2.46 → 3.33 s, short batches −12%).
         Keep several tasks per core here, exactly as on a real cluster.
 
-        Rows are sorted by ``(bucket, term)`` WITHIN each salt partition
-        before caching: InMemoryRelation keeps per-batch min/max stats and
-        skips non-matching batches at scan time, so a query's
-        ``bucket.isin & term.isin`` filter reads only the handful of cached
-        batches actually holding its terms instead of the whole slice
-        (zone-map pruning — the cluster twin is a term-sorted index segment
-        with sparse block index). ``sortWithinPartitions`` preserves the
-        salt hash-partitioning, so the per-query Exchange stays elided."""
+        ``sort_for_pruning``: sort rows by ``(bucket, term)`` within each
+        salt partition before caching, so InMemoryRelation's per-batch
+        min/max stats let a query's ``bucket/term`` filter skip whole cached
+        batches (zone-map pruning; ``sortWithinPartitions`` preserves the
+        salt hash-partitioning, so the per-query Exchange stays elided).
+        Measured at 1M docs (order-controlled A/B, fresh JVMs, driver-local
+        p50 as a host-contention canary): the scan stage DOES get faster
+        (12-query candidate scan 4.2 → 3.6 s; scan+group 5.4 → 3.6 s), but
+        end-to-end batch/serving numbers are neutral to slightly negative —
+        the scan is not the binding cost at this scale (the Python kernel
+        stage and job floor are), so the default stays OFF. On a cluster
+        with a much larger vocabulary (scan-bound), turn it on."""
         if num_partitions is not None:
             part = self.index.repartition(int(num_partitions), "salt")
         else:
             part = self.index.repartition("salt")
-        self.index = part.sortWithinPartitions("bucket", "term").persist()
+        if sort_for_pruning:
+            part = part.sortWithinPartitions("bucket", "term")
+        self.index = part.persist()
         self.index.count()
         return self
 
