@@ -21,7 +21,9 @@ supported instructions
     xsl:key name/match/use + key('name', arg)[/steps] in select paths
     xsl:variable (top-level globals + template-local; select= or
                                         text-only content, $name refs)
-    xsl:number [level=single|any] [count=pattern] (format="1" only)
+    xsl:number [level=single|any|multiple] [count=pattern] [value=EXPR]
+                                        (format tokens 1/01/a/A/i/I with
+                                        literal separators, XSLT §7.7.1)
     xsl:include / xsl:import via a resolver= callback (import = lower
                                         precedence, XSLT 1.0 §2.6)
     xsl:value-of / xsl:copy-of select=EXPR (full expression, see below)
@@ -43,7 +45,9 @@ route through one precedence-climbing evaluator, ``_XPathEval``)
 supported select/match paths (relative to the context node)
     .   ..   name   a/b/c   @attr   a/@attr   text()   *   /absolute/path
     $param   parent::n   ancestor::n   ancestor-or-self::n   self::n
-    child::n   attribute::n
+    child::n   attribute::n   descendant::n   descendant-or-self::n
+    //  (descendant-or-self shorthand, in select paths AND match patterns;
+    node-sets stay deduplicated in document order, XPath §3.3/§5)
     any step may carry predicates: a[2]  a[last()]  a[@id='x']  a[b='v']
     a[@attr]  a[position()&lt;3]  a[EXPR]  (chained ``[p][q]`` filters left
     to right; position() inside a predicate is the node's 1-based index in
@@ -75,6 +79,87 @@ _KEY_RE = re.compile(r"^key\(\s*'([^']*)'\s*,\s*([^)]*?)\s*\)(.*)$")
 
 class UnsupportedXsltError(NotImplementedError):
     pass
+
+
+def _expand_descendant(path: str) -> str:
+    """Canonical XPath 1.0 §2.5 abbreviation: ``//`` outside predicates and
+    string literals becomes ``/descendant-or-self::node()/``."""
+    out: list[str] = []
+    depth = 0
+    quote = None
+    i = 0
+    while i < len(path):
+        c = path[i]
+        if quote:
+            if c == quote:
+                quote = None
+            out.append(c)
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+        elif c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+        elif c == "/" and depth == 0 and path[i + 1 : i + 2] == "/":
+            out.append("/descendant-or-self::node()/")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_NUM_FMT_TOK = re.compile(r"[0-9A-Za-z]+")
+
+_ROMAN = (
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+    (5, "v"), (4, "iv"), (1, "i"),
+)
+
+
+def _format_number_token(num: int, tok: str) -> str:
+    """One xsl:number format token (XSLT 1.0 §7.7.1): ``1`` decimal,
+    ``01`` zero-padded to the token width, ``a``/``A`` alphabetic,
+    ``i``/``I`` roman. Anything else raises loudly."""
+    if tok and set(tok) <= set("0123456789") and tok.lstrip("0") in ("", "1"):
+        return str(num).zfill(len(tok))
+    if tok in ("a", "A"):
+        s, n = "", num
+        while n > 0:
+            n, r = divmod(n - 1, 26)
+            s = chr(ord("a") + r) + s
+        return s.upper() if tok == "A" else s
+    if tok in ("i", "I"):
+        s, n = "", num
+        for val, sym in _ROMAN:
+            while n >= val:
+                s += sym
+                n -= val
+        return s.upper() if tok == "I" else s
+    raise UnsupportedXsltError(f"xsl:number format token {tok!r} not supported")
+
+
+def _format_number_list(nums: list[int], fmt: str) -> str:
+    """Format a count list against a format string: alphanumeric runs are
+    format tokens, the runs between them separators; a leading run prefixes
+    and a trailing run suffixes the result; extra numbers reuse the last
+    token joined by the last separator (default ``.``), XSLT 1.0 §7.7.1."""
+    toks = [(m.group(), m.start(), m.end()) for m in _NUM_FMT_TOK.finditer(fmt)]
+    if not toks:
+        raise UnsupportedXsltError(f"xsl:number format {fmt!r} has no tokens")
+    prefix = fmt[: toks[0][1]]
+    suffix = fmt[toks[-1][2] :]
+    seps = [fmt[toks[i][2] : toks[i + 1][1]] for i in range(len(toks) - 1)]
+    parts: list[str] = []
+    for i, n in enumerate(nums):
+        if i > 0:
+            parts.append(seps[i - 1] if i - 1 < len(seps) else (seps[-1] if seps else "."))
+        tok = toks[i][0] if i < len(toks) else toks[-1][0]
+        parts.append(_format_number_token(n, tok))
+    return prefix + "".join(parts) + suffix
 
 
 def _strip_ns(tag: str) -> str:
@@ -356,10 +441,10 @@ class _XPathEval:
             if val in self._FUNCS:
                 return self._call(val)
             raise UnsupportedXsltError(f"unknown XPath function {val}()")
-        if k in ("name", "ddot", "axis") or (k == "op" and val in ("@", "/", ".", "*")):
+        if k in ("name", "ddot", "axis", "dslash") or (
+            k == "op" and val in ("@", "/", ".", "*")
+        ):
             return self._path()
-        if k == "dslash":
-            raise UnsupportedXsltError("descendant axis // not supported")
         raise UnsupportedXsltError(f"cannot parse XPath at {val!r} in {self.src!r}")
 
     def _call(self, name: str):
@@ -463,7 +548,10 @@ class _XPathEval:
         start = self._peek()[2]
         end = start
         k, v, _, e = self._peek()
-        if k == "op" and v == "/":
+        if k == "dslash":
+            # leading // — _select expands it (XPath §2.5 abbreviation)
+            end = self._next()[3]
+        elif k == "op" and v == "/":
             end = self._next()[3]
             if not self._path_step_starts():
                 # bare "/" = document node
@@ -472,33 +560,39 @@ class _XPathEval:
             self._next()  # key
             end = self._consume_balanced("(", ")")
             # optional /steps suffix
-            while self._is_op("/"):
+            while self._is_op("/") or self._peek()[0] == "dslash":
                 self._next()
                 end = self._consume_step()
             return self.m._select(self.ctx, self.src[start:end], self.root)
         end = self._consume_step()
-        while self._is_op("/"):
+        while self._is_op("/") or self._peek()[0] == "dslash":
             self._next()
             end = self._consume_step()
         return self.m._select(self.ctx, self.src[start:end], self.root)
 
     def _path_step_starts(self) -> bool:
         k, v, _, _ = self._peek()
-        if k in ("name", "ddot", "axis"):
+        if k in ("name", "ddot", "axis", "dslash"):
             return True
         return k == "op" and v in ("@", ".", "*")
 
     def _consume_step(self) -> int:
         """Consume one path step (+ its predicates); return its end offset."""
         k, v, _, e = self._peek()
-        if k == "dslash":
-            raise UnsupportedXsltError("descendant axis // not supported")
         if k == "axis":
             self._next()
             k, v, _, e = self._peek()
             if not (k == "name" or (k == "op" and v == "*")):
                 raise UnsupportedXsltError(f"bad axis step in {self.src!r}")
             end = self._next()[3]
+            if k == "name" and self._is_op("("):  # axis::node() / axis::text()
+                if v not in self._PATH_NODETESTS:
+                    raise UnsupportedXsltError(
+                        f"function {v}() cannot appear as a nodetest")
+                self._next()
+                if not self._is_op(")"):
+                    raise UnsupportedXsltError(f"bad nodetest in {self.src!r}")
+                end = self._next()[3]
         elif k == "op" and v == "@":
             self._next()
             k, v, _, e = self._peek()
@@ -699,10 +793,18 @@ class MiniXSLT:
         km = _KEY_RE.match(path)
         if km:
             return self._key_select(ctx, km, root)
+        if "//" in path:
+            path = _expand_descendant(path)
         # absolute paths start at the synthetic document node (whose only
         # child is the source root element), exactly like XSLT's "/"
         nodes: list = [root] if path.startswith("/") else [ctx.node]
         steps = [s.strip() for s in path.split("/") if s.strip()]
+        # reverse/descendant axes can emit duplicates or leave elements out
+        # of document order (e.g. a//b visits b-children of a before deeper
+        # b's that precede them); XPath node-sets are duplicate-free and in
+        # document order (§3.3/§5) — normalize after each such step
+        normalize = "::" in path or ".." in path
+        order_idx = getattr(self, "_doc_order_idx", None)
         for step in steps:
             m = _STEP_RE.match(step)
             if not m:
@@ -722,6 +824,20 @@ class MiniXSLT:
                         if self._pred(ctx, v, pred, i, last, root)
                     ]
                 out.extend(matched)
+            if (
+                normalize
+                and order_idx is not None
+                and len(out) > 1
+                and all(isinstance(v, ET.Element) for v in out)
+            ):
+                seen_ids: set[int] = set()
+                uniq = []
+                for v in out:
+                    if id(v) not in seen_ids:
+                        seen_ids.add(id(v))
+                        uniq.append(v)
+                uniq.sort(key=lambda e: order_idx.get(id(e), -1))
+                out = uniq
             nodes = out
         return nodes
 
@@ -809,6 +925,10 @@ class MiniXSLT:
             return [n]
         if base == "*":
             return list(n)
+        if base == "node()":
+            # element children only — text nodes are not modeled as steppable
+            # (same deviation as the built-in rules, module docstring)
+            return list(n)
         if base == ".." or base.startswith("parent::"):
             # parent map is recorded per-document in __call__; the root
             # element's parent is the synthetic document node (XPath: the
@@ -834,10 +954,29 @@ class MiniXSLT:
                 chain.append(cur)
                 cur = getattr(self, "_parent", {}).get(id(cur))
             chain.reverse()  # document order (root-first), _select convention
-            return [c for c in chain if name == "*" or _strip_ns(c.tag) == name]
+            return [
+                c for c in chain
+                if name in ("*", "node()") or _strip_ns(c.tag) == name
+            ]
+        if base.startswith(("descendant::", "descendant-or-self::")):
+            name = base.split("::", 1)[1]
+            if name == "text()":
+                raise UnsupportedXsltError(
+                    "descendant::text() not supported — use //text()")
+            # n.iter() is a document-order walk that yields n itself first
+            found = [
+                d for d in n.iter()
+                if isinstance(d.tag, str)
+                and (name in ("*", "node()") or _strip_ns(d.tag) == name)
+            ]
+            if base.startswith("descendant::"):
+                found = [d for d in found if d is not n]
+            return found
         if base.startswith("self::"):
             name = base[len("self::"):]
-            return [n] if name == "*" or _strip_ns(n.tag) == name else []
+            if name == "node()" or name == "*" or _strip_ns(n.tag) == name:
+                return [n]
+            return []
         if "::" in base:
             raise UnsupportedXsltError(f"axis not supported: {base!r}")
         return [c for c in n if _strip_ns(c.tag) == base]
@@ -864,13 +1003,22 @@ class MiniXSLT:
         ``name``, ``a/b``, ``*``, ``/abs/path`` — suffix match on the
         recorded ancestor names (shared by template dispatch and xsl:key)."""
         name = _strip_ns(elem.tag)
-        steps = [s for s in match.split("/") if s]
-        if not steps:
-            return False
-        if any("[" in s for s in steps):
+        if "[" in match:
             raise UnsupportedXsltError(
                 f"predicates in match patterns not supported: {match!r}"
             )
+        if "|" in match:
+            # pattern alternation (XSLT 1.0 §5.2 Pattern ::= ... '|' ...)
+            return any(
+                self._matches_pattern(elem, m.strip())
+                for m in match.split("|")
+                if m.strip()
+            )
+        if "//" in match:
+            return self._matches_descendant_pattern(elem, name, match)
+        steps = [s for s in match.split("/") if s]
+        if not steps:
+            return False
         if steps[-1] not in ("*", name):
             return False
         anc = self._ancestors.get(id(elem), [])
@@ -880,6 +1028,32 @@ class MiniXSLT:
         ):
             return not match.startswith("/") or len(want) == len(anc)
         return False
+
+    def _matches_descendant_pattern(
+        self, elem: ET.Element, name: str, match: str
+    ) -> bool:
+        """``//`` in a match pattern (XSLT 1.0 §5.2): ``a//b`` matches a b
+        with an ``a`` ancestor, ``//b`` ≡ ``b``. Compiled to a regex over the
+        space-joined ancestor-name chain (names cannot contain spaces)."""
+        anc = self._ancestors.get(id(elem), [])
+        chain = " " + " ".join(anc + [name]) + " "
+        absolute = match.startswith("/") and not match.startswith("//")
+        groups = []
+        for g in match.split("//"):
+            steps = [s for s in g.split("/") if s]
+            if steps:
+                groups.append(
+                    " ".join("[^ ]+" if s == "*" else re.escape(s) for s in steps)
+                )
+        if not groups:
+            return False
+        gap = " (?:[^ ]+ )*"
+        rx = (
+            ("^ " if absolute else "^ (?:[^ ]+ )*")
+            + gap.join(groups)
+            + " $"
+        )
+        return re.match(rx, chain) is not None
 
     def _find_template(
         self, elem: ET.Element, root: ET.Element, mode: str | None = None
@@ -918,6 +1092,9 @@ class MiniXSLT:
 
         record(src, [])
         self._parent[id(src)] = doc  # parent of the root ELEMENT = root node
+        # id → document-order rank, for node-set normalization in _select
+        # (the synthetic document node is absent → ranks -1, i.e. first)
+        self._doc_order_idx = {id(e): i for i, e in enumerate(self._doc_order)}
         # xsl:key tables: one doc-order walk per key definition, built once
         # per document (libxslt does the same lazily; eager is simpler and
         # the mapping-sheet sources are request-sized)
@@ -998,11 +1175,11 @@ class MiniXSLT:
             # number, boolean) — $refs see it raw via _lookup_var
             return self._eval_expr(ctx, sel, root)
         buf = ET.Element("__param__")
+        # _run_body emits the leading literal text into buf already
         self._run_body(node, ctx, root, buf)
         if len(buf):
             raise UnsupportedXsltError("element-valued parameters not supported")
-        # literal text content precedes instruction output (as in xsl:attribute)
-        return [(node.text or "").strip() + (buf.text or "")]
+        return [buf.text or ""]
 
     def _call_template(self, node: ET.Element, ctx: _Ctx, root: ET.Element,
                        out: ET.Element) -> None:
@@ -1023,19 +1200,25 @@ class MiniXSLT:
         # its leading xsl:param defaults fill unbound names (handled in body)
         self._run_body(tmpl, ctx.with_env(env), root, out)
 
-    def _number(self, node: ET.Element, ctx: _Ctx, out: ET.Element) -> None:
-        """xsl:number subset: level="single"|"any", count=pattern (default:
-        same name as the current node), format="1". from=, other formats and
-        level="multiple" stay behind the loud gate."""
+    def _number(self, node: ET.Element, ctx: _Ctx, out: ET.Element,
+                root: ET.Element) -> None:
+        """xsl:number: level="single"|"any"|"multiple", count=pattern
+        (default: same name as the current node), value=EXPR, format tokens
+        1/01/a/A/i/I with literal separators (§7.7.1). from= stays behind
+        the loud gate."""
         if node.get("from") is not None:
             raise UnsupportedXsltError("xsl:number from= not supported")
-        if node.get("format", "1") != "1":
-            raise UnsupportedXsltError("only xsl:number format='1' supported")
+        fmt = node.get("format", "1")
         level = node.get("level", "single")
-        if level not in ("single", "any"):
+        if level not in ("single", "any", "multiple"):
             raise UnsupportedXsltError(f"xsl:number level={level!r} not supported")
         if node.get("value") is not None:
-            raise UnsupportedXsltError("xsl:number value= not supported")
+            # value=EXPR: round the number, format with the first token (§7.7)
+            n = _xnum(self._eval_expr(ctx, node.get("value"), root))
+            if n != n:
+                raise UnsupportedXsltError("xsl:number value= is NaN")
+            self._append_text(out, _format_number_list([int(round(n))], fmt))
+            return
         cur = ctx.node
         if not isinstance(cur, ET.Element) or not isinstance(cur.tag, str):
             raise UnsupportedXsltError("xsl:number outside an element context")
@@ -1045,18 +1228,35 @@ class MiniXSLT:
             matches = lambda e: _strip_ns(e.tag) == name  # noqa: E731
         else:
             matches = lambda e: self._matches_pattern(e, count_pat)  # noqa: E731
+
+        def sib_index(target: ET.Element) -> int:
+            parent = self._parent.get(id(target))
+            if parent is None:
+                return 1
+            sibs = [c for c in parent if isinstance(c.tag, str) and matches(c)]
+            return 1 + sibs.index(target)
+
         if level == "single":
             target = cur
             while target is not None and not matches(target):
                 target = self._parent.get(id(target))
-            if target is None:
+            if target is None or target.tag == "__document__":
                 return  # empty count list → empty string (XSLT 1.0 §7.7)
-            parent = self._parent.get(id(target))
-            if parent is None:
-                self._append_text(out, "1")
+            self._append_text(out, _format_number_list([sib_index(target)], fmt))
+        elif level == "multiple":
+            # every matching ancestor-or-self, root-first (§7.7 level=multiple)
+            chain: list = []
+            target = cur
+            while target is not None and target.tag != "__document__":
+                if matches(target):
+                    chain.append(target)
+                target = self._parent.get(id(target))
+            chain.reverse()
+            if not chain:
                 return
-            sibs = [c for c in parent if isinstance(c.tag, str) and matches(c)]
-            self._append_text(out, str(1 + sibs.index(target)))
+            self._append_text(
+                out, _format_number_list([sib_index(t) for t in chain], fmt)
+            )
         else:  # any: matching nodes at or before cur in document order
             n = 0
             for e in self._doc_order:
@@ -1064,10 +1264,15 @@ class MiniXSLT:
                     n += 1
                 if e is cur:
                     break
-            self._append_text(out, str(n) if n else "")
+            self._append_text(out, _format_number_list([n], fmt) if n else "")
 
     def _run_body(self, body: ET.Element, ctx: _Ctx, root: ET.Element,
                   out: ET.Element) -> None:
+        if body.text and body.text.strip():
+            # literal text before the first instruction (instruction TAILS
+            # were always emitted — line guard mirrors theirs; the body's
+            # leading text was silently dropped until round 5b)
+            self._append_text(out, body.text)
         for node in body:
             tag = node.tag
             if tag is ET.Comment:
@@ -1135,7 +1340,7 @@ class MiniXSLT:
             elif tag == f"{_X}call-template":
                 self._call_template(node, ctx, root, out)
             elif tag == f"{_X}number":
-                self._number(node, ctx, out)
+                self._number(node, ctx, out, root)
             elif tag == f"{_X}if":
                 if self._test(ctx, node.get("test", ""), root):
                     self._run_body(node, ctx, root, out)
@@ -1154,11 +1359,11 @@ class MiniXSLT:
                     raise UnsupportedXsltError("xsl:attribute with no element")
                 target = out[-1] if len(out) else out
                 buf = ET.Element("__attr__")
+                # _run_body emits the leading literal text into buf already
                 self._run_body(node, ctx, root, buf)
-                # literal text inside xsl:attribute comes before child output
                 target.set(
                     self._avt(node.get("name", ""), ctx, root),
-                    (node.text or "").strip() + (buf.text or ""),
+                    buf.text or "",
                 )
             elif tag.startswith(_X):
                 raise UnsupportedXsltError(f"unsupported instruction {tag}")
@@ -1168,8 +1373,7 @@ class MiniXSLT:
                 )
                 for k, v in node.attrib.items():
                     lit.set(k, self._avt(v, ctx, root))
-                if node.text and node.text.strip():
-                    lit.text = node.text
+                # leading literal text is emitted by _run_body
                 self._run_body(node, ctx, root, lit)
             # literal trailing text inside templates (rare in mapping sheets)
             if node.tail and node.tail.strip():

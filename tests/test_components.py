@@ -351,7 +351,7 @@ def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 
     bad = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:number format="i" level="multiple"/></xsl:template>
+      <xsl:template match="/"><xsl:for-each select="preceding-sibling::x"><y/></xsl:for-each></xsl:template>
     </xsl:stylesheet>"""
     import pytest
 
@@ -721,11 +721,12 @@ def test_xslt_number():
     flat = ["".join(x.split()) for x in got]
     assert flat == ["1.1any=1", "1.2any=2", "2.1any=3"]
 
+    # from= is still behind the loud gate (format tokens landed round 5)
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT("""<xsl:stylesheet version="1.0"
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-          <xsl:template match="/"><xsl:number format="a"/></xsl:template>
-        </xsl:stylesheet>""")("<a/>")
+          <xsl:template match="section"><xsl:number from="book"/></xsl:template>
+        </xsl:stylesheet>""")("<book><section/></book>")
 
 
 def test_xslt_include_import_with_resolver():
@@ -975,6 +976,122 @@ def test_xslt_typed_variables_and_union():
     assert out.find("kth").text == "two"  # number variable as position pred
     assert out.find("u").text == "x.b.x."  # document order, not operand order
     # loud gate intact: unsupported syntax still raises
-    bad = sheet.replace('select="/d/b | /d/x"', 'select="//x"')
+    bad = sheet.replace(
+        'select="/d/b | /d/x"', 'select="following-sibling::x"'
+    )
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(bad)(xml)
+
+
+def test_xslt_descendant_axis():
+    """Round-5b: ``//`` in select paths (expanded to descendant-or-self,
+    XPath §2.5) and in match patterns (§5.2); node-sets come back
+    deduplicated in document order; explicit descendant:: axes."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    from solrutils_spark.sources.minixslt import (MiniXSLT,
+                                                  UnsupportedXsltError)
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <r>
+          <all>
+            <xsl:for-each select="//item">
+              <xsl:value-of select="concat(@id, '.')"/>
+            </xsl:for-each>
+          </all>
+          <scoped>
+            <xsl:for-each select="/cat/sub//item">
+              <xsl:value-of select="concat(@id, '.')"/>
+            </xsl:for-each>
+          </scoped>
+          <cnt><xsl:value-of select="count(//item)"/></cnt>
+          <exp><xsl:value-of select="count(/descendant-or-self::node()/item)"/></exp>
+          <dsc><xsl:value-of select="count(/cat/descendant::item)"/></dsc>
+          <txt><xsl:value-of select="count(//text())"/></txt>
+          <deep><xsl:apply-templates select="//leaf"/></deep>
+        </r>
+      </xsl:template>
+      <xsl:template match="sub//leaf">[s:<xsl:value-of select="."/>]</xsl:template>
+      <xsl:template match="leaf">[t:<xsl:value-of select="."/>]</xsl:template>
+    </xsl:stylesheet>"""
+    # document order trap: i2 (direct child of sub, AFTER box) must come
+    # after i1 (inside box) even though the naive per-parent walk visits
+    # sub's own children first
+    xml = """<cat>
+      <item id="i0"><leaf>top</leaf></item>
+      <sub>
+        <box><item id="i1"/><leaf>inner</leaf></box>
+        <item id="i2"/>
+      </sub>
+    </cat>"""
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    assert out.find("all").text == "i0.i1.i2."     # document order
+    assert out.find("scoped").text == "i1.i2."     # order across depths
+    assert out.find("cnt").text == "3"
+    assert out.find("exp").text == "3"             # explicit expansion ==
+    assert out.find("dsc").text == "3"
+    # whitespace-only texts of cat and sub count too (XPath text nodes)
+    assert out.find("txt").text == "4"
+    # match patterns: sub//leaf (ancestor gap) beats the generic leaf rule
+    assert out.find("deep").text == "[t:top][s:inner]"
+    # still-loud: descendant::text() points at the //text() spelling
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(sheet.replace(
+            'select="count(//text())"',
+            'select="count(descendant::text())"'))(xml)
+
+
+def test_xslt_number_formats():
+    """Round-5b xsl:number: format tokens 1/01/a/A/i/I with literal
+    separators, level="multiple", and value=EXPR (XSLT 1.0 §7.7)."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    from solrutils_spark.sources.minixslt import (MiniXSLT,
+                                                  UnsupportedXsltError)
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <r><xsl:apply-templates select="//section"/></r>
+      </xsl:template>
+      <xsl:template match="section">
+        <s m="{.}">
+          <xsl:number level="multiple" count="chapter|section" format="1.a."/>
+          <xsl:text>|</xsl:text>
+          <xsl:number format="(i)"/>
+          <xsl:text>|</xsl:text>
+          <xsl:number value="position() + 25" format="A"/>
+          <xsl:text>|</xsl:text>
+          <xsl:number format="001"/>
+        </s>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    xml = """<book>
+      <chapter><section>one</section><section>two</section></chapter>
+      <chapter><section>three</section></chapter>
+    </book>"""
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    got = ["".join((s.text or "").split()) for s in out.findall("s")]
+    assert got == ["1.a.|(i)|Z|001", "1.b.|(ii)|AA|002", "2.a.|(i)|AB|001"]
+    # roman + alpha edges via value=
+    edge = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <e a="{'x'}"><xsl:number value="1999" format="I"/>
+        <xsl:number value="702" format="a"/></e>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    etext = ET.fromstring(MiniXSLT(edge)("<x/>")).itertext()
+    assert "".join("".join(etext).split()) == "MCMXCIXzz"
+    # unknown format tokens stay loud
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT("""<xsl:stylesheet version="1.0"
+          xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:template match="/"><xsl:number value="5" format="一"/>
+          </xsl:template></xsl:stylesheet>""")("<x/>")
