@@ -8,8 +8,12 @@ mapping source XML into Solr ``<add><doc><field name=..>`` documents:
 
 supported instructions
     xsl:stylesheet / xsl:transform     (template container)
-    xsl:template match="name|a/b|/"    (also match="*"; first doc-order win,
-                                        longer paths tried first)
+    xsl:template match="name|a/b|/"    (also match="*", alternation a|b,
+                                        a//b descendant gaps, and step
+                                        predicates item[@active='yes'] /
+                                        a[2]/b — not both // and [] in one
+                                        pattern; first doc-order win, longer
+                                        paths tried first)
     xsl:template name=... + xsl:call-template [xsl:with-param]
     xsl:template mode=... + xsl:apply-templates mode=... (built-in rules
                                         descend in the same mode)
@@ -21,9 +25,12 @@ supported instructions
     xsl:key name/match/use + key('name', arg)[/steps] in select paths
     xsl:variable (top-level globals + template-local; select= or
                                         text-only content, $name refs)
-    xsl:number [level=single|any|multiple] [count=pattern] [value=EXPR]
-                                        (format tokens 1/01/a/A/i/I with
-                                        literal separators, XSLT §7.7.1)
+    xsl:number [level=single|any|multiple] [count=pattern] [from=pattern]
+                                        [value=EXPR] (format tokens
+                                        1/01/a/A/i/I with literal
+                                        separators, XSLT §7.7.1)
+    xsl:element name=AVT               (computed-name element)
+    xsl:copy                           (shallow copy, §7.5)
     xsl:include / xsl:import via a resolver= callback (import = lower
                                         precedence, XSLT 1.0 §2.6)
     xsl:value-of / xsl:copy-of select=EXPR (full expression, see below)
@@ -46,8 +53,11 @@ supported select/match paths (relative to the context node)
     .   ..   name   a/b/c   @attr   a/@attr   text()   *   /absolute/path
     $param   parent::n   ancestor::n   ancestor-or-self::n   self::n
     child::n   attribute::n   descendant::n   descendant-or-self::n
+    following-sibling::n   preceding-sibling::n   following::n   preceding::n
     //  (descendant-or-self shorthand, in select paths AND match patterns;
-    node-sets stay deduplicated in document order, XPath §3.3/§5)
+    node-sets stay deduplicated in document order, XPath §3.3/§5; reverse
+    axes present their spec proximity order to predicates first —
+    ancestor::*[1] is the nearest ancestor)
     any step may carry predicates: a[2]  a[last()]  a[@id='x']  a[b='v']
     a[@attr]  a[position()&lt;3]  a[EXPR]  (chained ``[p][q]`` filters left
     to right; position() inside a predicate is the node's 1-based index in
@@ -109,6 +119,34 @@ def _expand_descendant(path: str) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _split_outside(s: str, sep: str) -> list[str]:
+    """Split ``s`` on ``sep`` at bracket depth 0 and outside string
+    literals (predicates may contain '/', '|' and quoted text)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    quote = None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 _NUM_FMT_TOK = re.compile(r"[0-9A-Za-z]+")
@@ -798,7 +836,7 @@ class MiniXSLT:
         # absolute paths start at the synthetic document node (whose only
         # child is the source root element), exactly like XSLT's "/"
         nodes: list = [root] if path.startswith("/") else [ctx.node]
-        steps = [s.strip() for s in path.split("/") if s.strip()]
+        steps = [s.strip() for s in _split_outside(path, "/") if s.strip()]
         # reverse/descendant axes can emit duplicates or leave elements out
         # of document order (e.g. a//b visits b-children of a before deeper
         # b's that precede them); XPath node-sets are duplicate-free and in
@@ -953,10 +991,51 @@ class MiniXSLT:
             while cur is not None and cur.tag != "__document__":
                 chain.append(cur)
                 cur = getattr(self, "_parent", {}).get(id(cur))
-            chain.reverse()  # document order (root-first), _select convention
+            # AXIS order (nearest-first, XPath §2.2 reverse axis) so step
+            # predicates see the spec's proximity position — ancestor::x[1]
+            # is the NEAREST x; _select normalizes the final node-set back
+            # into document order afterwards
             return [
                 c for c in chain
                 if name in ("*", "node()") or _strip_ns(c.tag) == name
+            ]
+        if base.startswith(("following-sibling::", "preceding-sibling::")):
+            name = base.split("::", 1)[1]
+            p = getattr(self, "_parent", {}).get(id(n))
+            if p is None:
+                return []
+            sibs = [c for c in p if isinstance(c.tag, str)]
+            i = next(j for j, c in enumerate(sibs) if c is n)
+            if base.startswith("following-sibling::"):
+                chosen = sibs[i + 1:]
+            else:
+                chosen = sibs[:i][::-1]  # reverse axis: nearest-first
+            return [
+                c for c in chosen
+                if name in ("*", "node()") or _strip_ns(c.tag) == name
+            ]
+        if base.startswith(("following::", "preceding::")):
+            # whole-document axes (§2.2): doc-order slices around n minus
+            # its own subtree (following) / its ancestor chain (preceding)
+            name = base.split("::", 1)[1]
+            order = getattr(self, "_doc_order", None)
+            idx = getattr(self, "_doc_order_idx", {}).get(id(n))
+            if order is None or idx is None:
+                return []
+            if base.startswith("following::"):
+                in_subtree = {id(d) for d in n.iter()}
+                chosen = [e for e in order[idx + 1:] if id(e) not in in_subtree]
+            else:
+                ancs: set[int] = set()
+                cur = self._parent.get(id(n))
+                while cur is not None:
+                    ancs.add(id(cur))
+                    cur = self._parent.get(id(cur))
+                # reverse axis: nearest (latest in doc order) first
+                chosen = [e for e in order[:idx] if id(e) not in ancs][::-1]
+            return [
+                e for e in chosen
+                if name in ("*", "node()") or _strip_ns(e.tag) == name
             ]
         if base.startswith(("descendant::", "descendant-or-self::")):
             name = base.split("::", 1)[1]
@@ -1003,17 +1082,21 @@ class MiniXSLT:
         ``name``, ``a/b``, ``*``, ``/abs/path`` — suffix match on the
         recorded ancestor names (shared by template dispatch and xsl:key)."""
         name = _strip_ns(elem.tag)
-        if "[" in match:
-            raise UnsupportedXsltError(
-                f"predicates in match patterns not supported: {match!r}"
-            )
         if "|" in match:
             # pattern alternation (XSLT 1.0 §5.2 Pattern ::= ... '|' ...)
-            return any(
-                self._matches_pattern(elem, m.strip())
-                for m in match.split("|")
-                if m.strip()
-            )
+            alts = _split_outside(match, "|")
+            if len(alts) > 1:
+                return any(
+                    self._matches_pattern(elem, m.strip())
+                    for m in alts
+                    if m.strip()
+                )
+        if "[" in match:
+            if "//" in match:
+                raise UnsupportedXsltError(
+                    f"predicates + // in one match pattern not supported: {match!r}"
+                )
+            return self._matches_pattern_with_preds(elem, match)
         if "//" in match:
             return self._matches_descendant_pattern(elem, name, match)
         steps = [s for s in match.split("/") if s]
@@ -1028,6 +1111,65 @@ class MiniXSLT:
         ):
             return not match.startswith("/") or len(want) == len(anc)
         return False
+
+    def _matches_pattern_with_preds(self, elem: ET.Element, match: str) -> bool:
+        """Match pattern with step predicates (XSLT 1.0 §5.2), e.g.
+        ``item[@active='yes']``, ``a[2]/b``. Walks the actual ancestor
+        elements right-to-left; each step's predicates are evaluated with
+        the spec's proximity position — the element's 1-based index among
+        same-nodetest siblings (Patterns §5.2 child-axis semantics)."""
+        absolute = match.startswith("/")
+        steps = [s.strip() for s in _split_outside(match, "/") if s.strip()]
+        if not steps:
+            return False
+        # document root for absolute paths inside predicate expressions
+        root = elem
+        while True:
+            p = self._parent.get(id(root))
+            if p is None:
+                break
+            root = p
+        cur: ET.Element | None = elem
+        for step in reversed(steps):
+            if cur is None or cur.tag == "__document__":
+                return False
+            if not self._elem_matches_step(cur, step, root):
+                return False
+            cur = self._parent.get(id(cur))
+        if absolute:
+            return cur is not None and cur.tag == "__document__"
+        return True
+
+    def _elem_matches_step(
+        self, e: ET.Element, step: str, root: ET.Element
+    ) -> bool:
+        m = _STEP_RE.match(step)
+        if not m:
+            raise UnsupportedXsltError(f"cannot parse pattern step {step!r}")
+        base, preds_src = m.group(1).strip(), m.group(2)
+        if "::" in base or base in ("..", ".") or base.startswith("@"):
+            raise UnsupportedXsltError(
+                f"only name/* steps supported in match patterns: {step!r}")
+        if base != "*" and _strip_ns(e.tag) != base:
+            return False
+        preds = _PRED_RE.findall(preds_src) if preds_src else []
+        if not preds:
+            return True
+        parent = self._parent.get(id(e))
+        if parent is not None:
+            sibs = [
+                c for c in parent
+                if isinstance(c.tag, str)
+                and (base == "*" or _strip_ns(c.tag) == base)
+            ]
+            pos = 1 + next(j for j, c in enumerate(sibs) if c is e)
+            last = len(sibs)
+        else:
+            pos = last = 1
+        ctx = _Ctx(e)
+        return all(
+            self._pred(ctx, e, pred, pos, last, root) for pred in preds
+        )
 
     def _matches_descendant_pattern(
         self, elem: ET.Element, name: str, match: str
@@ -1203,11 +1345,9 @@ class MiniXSLT:
     def _number(self, node: ET.Element, ctx: _Ctx, out: ET.Element,
                 root: ET.Element) -> None:
         """xsl:number: level="single"|"any"|"multiple", count=pattern
-        (default: same name as the current node), value=EXPR, format tokens
-        1/01/a/A/i/I with literal separators (§7.7.1). from= stays behind
-        the loud gate."""
-        if node.get("from") is not None:
-            raise UnsupportedXsltError("xsl:number from= not supported")
+        (default: same name as the current node), from=pattern (bounds the
+        ancestor walk / resets the doc-order count, §7.7), value=EXPR,
+        format tokens 1/01/a/A/i/I with literal separators (§7.7.1)."""
         fmt = node.get("format", "1")
         level = node.get("level", "single")
         if level not in ("single", "any", "multiple"):
@@ -1228,6 +1368,11 @@ class MiniXSLT:
             matches = lambda e: _strip_ns(e.tag) == name  # noqa: E731
         else:
             matches = lambda e: self._matches_pattern(e, count_pat)  # noqa: E731
+        from_pat = node.get("from")
+        if from_pat is None:
+            matches_from = lambda e: False  # noqa: E731
+        else:
+            matches_from = lambda e: self._matches_pattern(e, from_pat)  # noqa: E731
 
         def sib_index(target: ET.Element) -> int:
             parent = self._parent.get(id(target))
@@ -1238,16 +1383,22 @@ class MiniXSLT:
 
         if level == "single":
             target = cur
-            while target is not None and not matches(target):
+            while target is not None and target.tag != "__document__" \
+                    and not matches(target):
+                if matches_from(target):
+                    return  # walk bounded by from= (§7.7) → empty string
                 target = self._parent.get(id(target))
             if target is None or target.tag == "__document__":
                 return  # empty count list → empty string (XSLT 1.0 §7.7)
             self._append_text(out, _format_number_list([sib_index(target)], fmt))
         elif level == "multiple":
-            # every matching ancestor-or-self, root-first (§7.7 level=multiple)
+            # every matching ancestor-or-self below the nearest from= match,
+            # root-first (§7.7 level=multiple)
             chain: list = []
             target = cur
             while target is not None and target.tag != "__document__":
+                if matches_from(target):
+                    break
                 if matches(target):
                     chain.append(target)
                 target = self._parent.get(id(target))
@@ -1257,10 +1408,13 @@ class MiniXSLT:
             self._append_text(
                 out, _format_number_list([sib_index(t) for t in chain], fmt)
             )
-        else:  # any: matching nodes at or before cur in document order
+        else:  # any: matching nodes at or before cur in document order,
+            # counted from the most recent from= match (§7.7)
             n = 0
             for e in self._doc_order:
-                if matches(e):
+                if matches_from(e):
+                    n = 0
+                elif matches(e):
                     n += 1
                 if e is cur:
                     break
@@ -1301,6 +1455,30 @@ class MiniXSLT:
                         out.append(_copy.deepcopy(n))
                     else:
                         self._append_text(out, _string_value(n))
+            elif tag == f"{_X}element":
+                # computed-name element (name= is an AVT, XSLT §7.1.2)
+                if node.get("use-attribute-sets") or node.get("namespace"):
+                    raise UnsupportedXsltError(
+                        "xsl:element use-attribute-sets/namespace not supported")
+                ename = self._avt(node.get("name", ""), ctx, root)
+                if not ename:
+                    raise UnsupportedXsltError("xsl:element with empty name")
+                self._run_body(node, ctx, root, ET.SubElement(out, ename))
+            elif tag == f"{_X}copy":
+                # shallow copy of the context node (§7.5): element → same
+                # tag, NO attributes; document node → body runs in place
+                if node.get("use-attribute-sets"):
+                    raise UnsupportedXsltError(
+                        "xsl:copy use-attribute-sets not supported")
+                cur = ctx.node
+                if not isinstance(cur, ET.Element):
+                    self._append_text(out, _xstr(cur))
+                elif cur.tag == "__document__":
+                    self._run_body(node, ctx, root, out)
+                else:
+                    self._run_body(
+                        node, ctx, root,
+                        ET.SubElement(out, _strip_ns(cur.tag)))
             elif tag == f"{_X}text":
                 self._append_text(out, node.text or "")
             elif tag == f"{_X}sort":

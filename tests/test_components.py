@@ -351,7 +351,7 @@ def test_xslt_unsupported_raises():
     from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
 
     bad = """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:for-each select="preceding-sibling::x"><y/></xsl:for-each></xsl:template>
+      <xsl:template match="a"><xsl:for-each select="namespace::x"><y/></xsl:for-each></xsl:template>
     </xsl:stylesheet>"""
     import pytest
 
@@ -721,11 +721,11 @@ def test_xslt_number():
     flat = ["".join(x.split()) for x in got]
     assert flat == ["1.1any=1", "1.2any=2", "2.1any=3"]
 
-    # from= is still behind the loud gate (format tokens landed round 5)
+    # use-attribute-sets is behind the loud gate
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT("""<xsl:stylesheet version="1.0"
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-          <xsl:template match="section"><xsl:number from="book"/></xsl:template>
+          <xsl:template match="/"><xsl:copy use-attribute-sets="s"/></xsl:template>
         </xsl:stylesheet>""")("<book><section/></book>")
 
 
@@ -977,7 +977,7 @@ def test_xslt_typed_variables_and_union():
     assert out.find("u").text == "x.b.x."  # document order, not operand order
     # loud gate intact: unsupported syntax still raises
     bad = sheet.replace(
-        'select="/d/b | /d/x"', 'select="following-sibling::x"'
+        'select="/d/b | /d/x"', 'select="namespace::x"'
     )
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(bad)(xml)
@@ -1095,3 +1095,95 @@ def test_xslt_number_formats():
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
           <xsl:template match="/"><xsl:number value="5" format="一"/>
           </xsl:template></xsl:stylesheet>""")("<x/>")
+
+
+def test_xslt_copy_element_number_from():
+    """Round-5b: xsl:copy (shallow copy, §7.5), xsl:element with an AVT
+    name (§7.1.2), and xsl:number from= (bounds/resets counting, §7.7)."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.minixslt import MiniXSLT
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <r><xsl:apply-templates select="//sec"/></r>
+      </xsl:template>
+      <xsl:template match="sec">
+        <xsl:copy>
+          <xsl:element name="f{@k}"><xsl:value-of select="."/></xsl:element>
+          <n><xsl:number level="any" count="sec" from="part"/></n>
+          <s><xsl:number count="sec" from="doc"/></s>
+        </xsl:copy>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    xml = ('<doc><part><sec k="1">a</sec><sec k="2">b</sec></part>'
+           '<part><sec k="3">c</sec></part></doc>')
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    secs = out.findall("sec")  # xsl:copy reproduced the element name
+    assert [(s[0].tag, s[0].text, s.find("n").text, s.find("s").text)
+            for s in secs] == [
+        ("f1", "a", "1", "1"),   # from=part resets the doc-order count
+        ("f2", "b", "2", "2"),   # single-level sibling index unaffected
+        ("f3", "c", "1", "1"),
+    ]
+    # xsl:copy of the document node runs its body in place
+    ident = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><xsl:copy><x ok="1"/></xsl:copy></xsl:template>
+    </xsl:stylesheet>"""
+    assert MiniXSLT(ident)("<a/>") == '<x ok="1" />'
+
+
+def test_xslt_sibling_axes_and_pattern_predicates():
+    """Round-5b: following-/preceding-sibling axes (reverse axes present
+    nearest-first proximity order to predicates, XPath §2.2), and step
+    predicates in match patterns (XSLT §5.2) — attribute tests and
+    positional [N] against same-nodetest siblings."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    from solrutils_spark.sources.minixslt import (MiniXSLT,
+                                                  UnsupportedXsltError)
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <r>
+          <xsl:for-each select="/cat/item">
+            <i id="{@id}"
+               next="{following-sibling::item[1]/@id}"
+               prev="{preceding-sibling::item[1]/@id}"
+               nf="{count(following-sibling::*)}"/>
+          </xsl:for-each>
+          <near><xsl:value-of select="name(/cat/sub/leaf/ancestor::*[1])"/></near>
+          <fol><xsl:value-of select="count(/cat/item[1]/following::*)"/></fol>
+          <pre><xsl:value-of select="name(/cat/sub/leaf/preceding::*[1])"/></pre>
+          <disp><xsl:apply-templates select="/cat/item"/></disp>
+        </r>
+      </xsl:template>
+      <xsl:template match="item[@active='yes']">+<xsl:value-of select="@id"/></xsl:template>
+      <xsl:template match="item[2]">2nd:<xsl:value-of select="@id"/></xsl:template>
+      <xsl:template match="item">-<xsl:value-of select="@id"/></xsl:template>
+    </xsl:stylesheet>"""
+    xml = ('<cat><item id="a" active="yes"/><item id="b"/>'
+           '<item id="c" active="yes"/><sub><leaf/></sub></cat>')
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    rows = [(i.get("id"), i.get("next"), i.get("prev"), i.get("nf"))
+            for i in out.findall("i")]
+    # prev uses [1] on a REVERSE axis: nearest preceding sibling, not first
+    assert rows == [
+        ("a", "b", "", "3"), ("b", "c", "a", "2"), ("c", "", "b", "1")
+    ]
+    assert out.find("near").text == "sub"  # nearest ancestor, not root-most
+    # following:: excludes the subtree; leaf is inside sub so it counts
+    assert out.find("fol").text == "4"     # b, c, sub, leaf
+    # preceding:: excludes ancestors; nearest-first ⇒ item c, not a/b
+    assert out.find("pre").text == "item"
+    # dispatch: attribute-predicate rule, then positional, then fallback
+    assert out.find("disp").text == "+a2nd:b+c"
+    # // plus predicates in ONE pattern stays loudly gated
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(sheet.replace(
+            'match="item[2]"', 'match="cat//item[2]"'))(xml)
