@@ -1187,3 +1187,47 @@ def test_xslt_sibling_axes_and_pattern_predicates():
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT(sheet.replace(
             'match="item[2]"', 'match="cat//item[2]"'))(xml)
+
+
+def test_spark_submit_py_files(tmp_path):
+    """north_rule: 'run via spark-submit --py-files on multi-executor
+    clusters'. Packages the library as a zip, spark-submits
+    tools/submit_job.py from OUTSIDE the repo with a builder-only session
+    (no get_spark PYTHONPATH export), and asserts the printed contract:
+    top-k returned, absent term empty, per-row sha256 invariant holds."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not Path(spark_submit).exists():
+        pytest.skip("spark-submit not on this host")
+
+    zip_path = tmp_path / "solrutils_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for p in sorted((repo / "solrutils_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(repo))
+
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k not in ("PYTHONPATH",)}  # the zip must be the ONLY source
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]",
+         "--py-files", str(zip_path),
+         str(repo / "tools" / "submit_job.py"),
+         str(tmp_path / "idx"), "800"],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["ok"] is True, out
+    assert out["n_docs"] == 800
+    assert out["k_returned"] == 5
+    assert out["absent_returns"] == 0
+    assert out["sha256_mismatches"] == 0
