@@ -11,9 +11,10 @@ supported instructions
     xsl:template match="name|a/b|/"    (also match="*", alternation a|b,
                                         a//b descendant gaps, and step
                                         predicates item[@active='yes'] /
-                                        a[2]/b — not both // and [] in one
-                                        pattern; first doc-order win, longer
-                                        paths tried first)
+                                        a[2]/b, combinable: a//b[@x]
+                                        backtracks over candidate ancestors
+                                        at each gap; first doc-order win,
+                                        longer paths tried first)
     xsl:template name=... + xsl:call-template [xsl:with-param]
     xsl:template mode=... + xsl:apply-templates mode=... (built-in rules
                                         descend in the same mode)
@@ -31,6 +32,10 @@ supported instructions
                                         separators, XSLT §7.7.1)
     xsl:element name=AVT               (computed-name element)
     xsl:copy                           (shallow copy, §7.5)
+    xsl:attribute-set + use-attribute-sets on xsl:element / xsl:copy /
+                                        literal elements (§7.1.4: nesting,
+                                        explicit attrs override, same-name
+                                        sets merge import-precedence-first)
     xsl:include / xsl:import via a resolver= callback (import = lower
                                         precedence, XSLT 1.0 §2.6)
     xsl:value-of / xsl:copy-of select=EXPR (full expression, see below)
@@ -730,8 +735,14 @@ class MiniXSLT:
         self._named_prec: dict[str, bool] = {}  # name → defined-by-import?
         self.key_defs: list[tuple[str, str, str]] = []  # (name, match, use)
         self.global_vars: list[ET.Element] = []  # top-level xsl:variable
+        # name → [(imported, xsl:attribute-set element)]: same-name sets
+        # MERGE (XSLT 1.0 §7.1.4) with importing-sheet attributes winning,
+        # so imported declarations are applied first and get overridden
+        self.attr_sets: dict[str, list[tuple[bool, ET.Element]]] = {}
         self._resolver = resolver
         self._compile(xslt_source, imported=False, seen=set())
+        for decls in self.attr_sets.values():
+            decls.sort(key=lambda t: not t[0])  # imported (lower prec) first
         # longer (more specific) match patterns first, stable otherwise
         self.templates.sort(key=lambda t: -len(t[0].split("/")))
         self.imported.sort(key=lambda t: -len(t[0].split("/")))
@@ -788,6 +799,11 @@ class MiniXSLT:
                 # select path may read the source), doc-order, may reference
                 # earlier globals
                 self.global_vars.append(child)
+            elif tag == f"{_X}attribute-set":
+                aname = child.get("name")
+                if not aname:
+                    raise UnsupportedXsltError("xsl:attribute-set needs name=")
+                self.attr_sets.setdefault(aname, []).append((imported, child))
             elif tag == f"{_X}output":
                 continue  # serialization hints — we always emit unicode XML
             elif tag is ET.Comment:
@@ -1077,6 +1093,38 @@ class MiniXSLT:
         return _xbool(v)
 
     # -- matching ------------------------------------------------------------
+    def _apply_attr_sets(
+        self, names: str, ctx: "_Ctx", root: ET.Element, target: ET.Element,
+        _seen: frozenset = frozenset(),
+    ) -> None:
+        """``use-attribute-sets`` (XSLT 1.0 §7.1.4): whitespace-separated
+        named sets of ``xsl:attribute`` instructions, applied BEFORE the
+        element's own attributes so explicit ones override. Sets may use
+        other sets; cycles and undefined names raise."""
+        for name in names.split():
+            if name in _seen:
+                raise UnsupportedXsltError(f"circular attribute-set {name!r}")
+            decls = self.attr_sets.get(name)
+            if decls is None:
+                raise UnsupportedXsltError(f"undefined attribute-set {name!r}")
+            for _imported, decl in decls:
+                nested = decl.get("use-attribute-sets")
+                if nested:
+                    self._apply_attr_sets(
+                        nested, ctx, root, target, _seen | {name})
+                for a in decl:
+                    if a.tag is ET.Comment:
+                        continue
+                    if a.tag != f"{_X}attribute":
+                        raise UnsupportedXsltError(
+                            "attribute-set may contain only xsl:attribute")
+                    buf = ET.Element("__attr__")
+                    self._run_body(a, ctx, root, buf)
+                    target.set(
+                        self._avt(a.get("name", ""), ctx, root),
+                        buf.text or "",
+                    )
+
     def _matches_pattern(self, elem: ET.Element, match: str) -> bool:
         """True if ``elem`` matches a (predicate-free) pattern like
         ``name``, ``a/b``, ``*``, ``/abs/path`` — suffix match on the
@@ -1092,10 +1140,6 @@ class MiniXSLT:
                     if m.strip()
                 )
         if "[" in match:
-            if "//" in match:
-                raise UnsupportedXsltError(
-                    f"predicates + // in one match pattern not supported: {match!r}"
-                )
             return self._matches_pattern_with_preds(elem, match)
         if "//" in match:
             return self._matches_descendant_pattern(elem, name, match)
@@ -1113,15 +1157,14 @@ class MiniXSLT:
         return False
 
     def _matches_pattern_with_preds(self, elem: ET.Element, match: str) -> bool:
-        """Match pattern with step predicates (XSLT 1.0 §5.2), e.g.
-        ``item[@active='yes']``, ``a[2]/b``. Walks the actual ancestor
-        elements right-to-left; each step's predicates are evaluated with
-        the spec's proximity position — the element's 1-based index among
-        same-nodetest siblings (Patterns §5.2 child-axis semantics)."""
-        absolute = match.startswith("/")
-        steps = [s.strip() for s in _split_outside(match, "/") if s.strip()]
-        if not steps:
-            return False
+        """Match pattern with step predicates and optional ``//`` gaps
+        (XSLT 1.0 §5.2), e.g. ``item[@active='yes']``, ``a[2]/b``,
+        ``cat//item[2]``. Walks the actual ancestor elements right-to-left,
+        backtracking over every candidate ancestor at each descendant gap;
+        each step's predicates are evaluated with the spec's proximity
+        position — the element's 1-based index among same-nodetest siblings
+        (Patterns §5.2 child-axis semantics)."""
+        absolute = match.startswith("/") and not match.startswith("//")
         # document root for absolute paths inside predicate expressions
         root = elem
         while True:
@@ -1129,16 +1172,51 @@ class MiniXSLT:
             if p is None:
                 break
             root = p
+        # ``//``-separated groups of ``/``-separated steps: an empty part
+        # from the single-char split marks the gap ("a//b" → ["a","","b"])
+        parts = [s.strip() for s in _split_outside(match.lstrip("/"), "/")]
+        groups: list[list[str]] = []
+        cur_group: list[str] = []
+        for s in parts:
+            if s:
+                cur_group.append(s)
+            elif cur_group:
+                groups.append(cur_group)
+                cur_group = []
+            else:
+                return False  # "///" or empty step — malformed pattern
+        if cur_group:
+            groups.append(cur_group)
+        if not groups:
+            return False
+        return self._match_step_groups(elem, groups, absolute, root)
+
+    def _match_step_groups(
+        self, elem: ET.Element, groups: list[list[str]],
+        absolute: bool, root: ET.Element,
+    ) -> bool:
+        """The last group's steps must chain parent-to-parent ending at
+        ``elem``; each earlier group must end at SOME ancestor above it
+        (descendant gap). Absolute patterns anchor the first group's top
+        step directly under the document node."""
         cur: ET.Element | None = elem
-        for step in reversed(steps):
+        for step in reversed(groups[-1]):
             if cur is None or cur.tag == "__document__":
                 return False
             if not self._elem_matches_step(cur, step, root):
                 return False
             cur = self._parent.get(id(cur))
-        if absolute:
-            return cur is not None and cur.tag == "__document__"
-        return True
+        rest = groups[:-1]
+        if not rest:
+            if absolute:
+                return cur is not None and cur.tag == "__document__"
+            return True
+        anc = cur
+        while anc is not None and anc.tag != "__document__":
+            if self._match_step_groups(anc, rest, absolute, root):
+                return True
+            anc = self._parent.get(id(anc))
+        return False
 
     def _elem_matches_step(
         self, e: ET.Element, step: str, root: ET.Element
@@ -1457,28 +1535,31 @@ class MiniXSLT:
                         self._append_text(out, _string_value(n))
             elif tag == f"{_X}element":
                 # computed-name element (name= is an AVT, XSLT §7.1.2)
-                if node.get("use-attribute-sets") or node.get("namespace"):
+                if node.get("namespace"):
                     raise UnsupportedXsltError(
-                        "xsl:element use-attribute-sets/namespace not supported")
+                        "xsl:element namespace= not supported")
                 ename = self._avt(node.get("name", ""), ctx, root)
                 if not ename:
                     raise UnsupportedXsltError("xsl:element with empty name")
-                self._run_body(node, ctx, root, ET.SubElement(out, ename))
+                sub = ET.SubElement(out, ename)
+                uas = node.get("use-attribute-sets")
+                if uas:
+                    self._apply_attr_sets(uas, ctx, root, sub)
+                self._run_body(node, ctx, root, sub)
             elif tag == f"{_X}copy":
                 # shallow copy of the context node (§7.5): element → same
                 # tag, NO attributes; document node → body runs in place
-                if node.get("use-attribute-sets"):
-                    raise UnsupportedXsltError(
-                        "xsl:copy use-attribute-sets not supported")
                 cur = ctx.node
+                uas = node.get("use-attribute-sets")
                 if not isinstance(cur, ET.Element):
                     self._append_text(out, _xstr(cur))
                 elif cur.tag == "__document__":
                     self._run_body(node, ctx, root, out)
                 else:
-                    self._run_body(
-                        node, ctx, root,
-                        ET.SubElement(out, _strip_ns(cur.tag)))
+                    sub = ET.SubElement(out, _strip_ns(cur.tag))
+                    if uas:
+                        self._apply_attr_sets(uas, ctx, root, sub)
+                    self._run_body(node, ctx, root, sub)
             elif tag == f"{_X}text":
                 self._append_text(out, node.text or "")
             elif tag == f"{_X}sort":
@@ -1549,7 +1630,12 @@ class MiniXSLT:
                 lit = ET.SubElement(
                     out, _strip_ns(tag) if not tag.startswith("{") else tag
                 )
+                uas = node.get(f"{_X}use-attribute-sets")
+                if uas:  # sets first — literal attributes override (§7.1.4)
+                    self._apply_attr_sets(uas, ctx, root, lit)
                 for k, v in node.attrib.items():
+                    if k == f"{_X}use-attribute-sets":
+                        continue
                     lit.set(k, self._avt(v, ctx, root))
                 # leading literal text is emitted by _run_body
                 self._run_body(node, ctx, root, lit)

@@ -721,12 +721,63 @@ def test_xslt_number():
     flat = ["".join(x.split()) for x in got]
     assert flat == ["1.1any=1", "1.2any=2", "2.1any=3"]
 
-    # use-attribute-sets is behind the loud gate
+    # use-attribute-sets naming an UNDEFINED set stays loudly gated
     with pytest.raises(UnsupportedXsltError):
         MiniXSLT("""<xsl:stylesheet version="1.0"
           xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-          <xsl:template match="/"><xsl:copy use-attribute-sets="s"/></xsl:template>
+          <xsl:template match="/"><xsl:element name="e" use-attribute-sets="s"/></xsl:template>
         </xsl:stylesheet>""")("<book><section/></book>")
+
+
+def test_xslt_attribute_sets():
+    """XSLT 1.0 §7.1.4 xsl:attribute-set: applied via use-attribute-sets on
+    xsl:element / xsl:copy / literal result elements (xsl:use-attribute-sets),
+    set-in-set nesting, explicit attributes overriding set attributes, and
+    circular references raising."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:attribute-set name="base">
+        <xsl:attribute name="cls">row</xsl:attribute>
+        <xsl:attribute name="role">cell</xsl:attribute>
+      </xsl:attribute-set>
+      <xsl:attribute-set name="hot" use-attribute-sets="base">
+        <xsl:attribute name="hot">yes</xsl:attribute>
+        <xsl:attribute name="id"><xsl:value-of select="@id"/></xsl:attribute>
+      </xsl:attribute-set>
+      <xsl:template match="/">
+        <out><xsl:apply-templates select="cat/item"/></out>
+      </xsl:template>
+      <xsl:template match="item">
+        <lit xsl:use-attribute-sets="hot" role="override"/>
+        <xsl:element name="dyn" use-attribute-sets="base"/>
+        <xsl:copy use-attribute-sets="base"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    xml = '<cat><item id="i1"/></cat>'
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    lit = out.find("lit")
+    # nested set (base via hot) + the set's own attrs; the literal
+    # role="override" wins over the set's role="cell" (§7.1.4)
+    assert lit.attrib == {"cls": "row", "role": "override",
+                          "hot": "yes", "id": "i1"}
+    assert out.find("dyn").attrib == {"cls": "row", "role": "cell"}
+    assert out.find("item").attrib == {"cls": "row", "role": "cell"}
+
+    # circular set references raise
+    circ = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:attribute-set name="a" use-attribute-sets="b"/>
+      <xsl:attribute-set name="b" use-attribute-sets="a"/>
+      <xsl:template match="/"><xsl:element name="e" use-attribute-sets="a"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError):
+        MiniXSLT(circ)("<x/>")
 
 
 def test_xslt_include_import_with_resolver():
@@ -1183,10 +1234,45 @@ def test_xslt_sibling_axes_and_pattern_predicates():
     assert out.find("pre").text == "item"
     # dispatch: attribute-predicate rule, then positional, then fallback
     assert out.find("disp").text == "+a2nd:b+c"
-    # // plus predicates in ONE pattern stays loudly gated
-    with pytest.raises(UnsupportedXsltError):
-        MiniXSLT(sheet.replace(
-            'match="item[2]"', 'match="cat//item[2]"'))(xml)
+    # // plus predicates in ONE pattern: cat//item[2] matches the same
+    # second item (gap of zero groups), so dispatch output is unchanged
+    out2 = ET.fromstring(MiniXSLT(sheet.replace(
+        'match="item[2]"', 'match="cat//item[2]"'))(xml))
+    assert out2.find("disp").text == "+a2nd:b+c"
+
+
+def test_xslt_descendant_gap_with_predicates():
+    """Round-5: ``//`` and step predicates combined in one match pattern —
+    backtracking over candidate ancestors at each gap, absolute anchoring,
+    and predicate evaluation at the gapped upper steps."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.minixslt import MiniXSLT
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <out><xsl:apply-templates select="lib//leaf"/></out>
+      </xsl:template>
+      <xsl:template match="shelf[@hot='yes']//leaf">
+        <l k="hot"><xsl:value-of select="@id"/></l>
+      </xsl:template>
+      <xsl:template match="/lib//leaf[@deep]">
+        <l k="deep"><xsl:value-of select="@id"/></l>
+      </xsl:template>
+      <xsl:template match="leaf">
+        <l k="plain"><xsl:value-of select="@id"/></l>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    xml = """<lib>
+      <shelf hot="yes"><box><leaf id="a"/></box></shelf>
+      <shelf><box><leaf id="b" deep="1"/></box><leaf id="c"/></shelf>
+    </lib>"""
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    got = [(l.get("k"), l.text) for l in out.findall("l")]
+    # a: under the hot shelf (gap crosses box); b: absolute /lib//leaf with
+    # a predicate on the leaf; c: neither pattern's predicates hold
+    assert got == [("hot", "a"), ("deep", "b"), ("plain", "c")]
 
 
 def test_spark_submit_py_files(tmp_path):
