@@ -605,6 +605,31 @@ def q_embedding_dedup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exhaustive n-gram (3-shingle) Jaccard over a 1-in-5 doc subset.
+
+    Exercises the exact verify kernel (``verify_ngram_jaccard`` — JVM
+    ``array_intersect``/``array_union`` over distinct shingle sets) via the
+    test-fenced all-pairs driver. Oracle-checkable: DuckDB enumerates the
+    same shingle sets relationally (token self-join for the sliding window)
+    and computes |A∩B| / (|A|+|B|-|A∩B|). Threshold 0.02 sits well clear of
+    every realized value at sf0.01 (nearest 0.0215), so no float-boundary
+    flakiness; jaccard = small-int / small-int division is bit-identical in
+    both engines, rounded to 6dp on both sides.
+    """
+    from solrutils_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_all_pairs(d, threshold=0.02, shingle_k=3)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def q_langid(spark, sf_dir):
     """Language-ID heuristic (no SQL oracle — rows-only check)."""
     from solrutils_spark.operators.textstats import detect_language
@@ -645,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
         "embedding_dedup": q_embedding_dedup,
         "langid": q_langid,
     }
@@ -890,6 +916,51 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "ngram_jaccard": r"""
+            -- exact 3-shingle Jaccard, 1-in-5 doc subset; shingle sets built
+            -- relationally (token self-join = sliding window), Jaccard =
+            -- |A∩B| / (|A|+|B|-|A∩B|); filter BEFORE rounding, as in Spark
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\s\x1c-\x1f]+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            tok AS (
+              SELECT doc_id, unnest(toks) AS tk,
+                     unnest(generate_series(1, len(toks))) AS ord
+              FROM docs
+            ),
+            shingle3 AS (
+              SELECT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS sh
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+            ),
+            short AS (
+              SELECT doc_id, array_to_string(toks, ' ') AS sh
+              FROM docs WHERE len(toks) BETWEEN 1 AND 2
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id, sh
+              FROM (SELECT * FROM shingle3 UNION ALL SELECT * FROM short)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS isz
+              FROM shingles x
+              JOIN shingles y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b, isz::DOUBLE / (sa.sz + sb.sz - isz) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.id_a
+              JOIN sizes sb ON sb.doc_id = inter.id_b
+            )
+            SELECT id_a, id_b, round(jac, 6) AS jaccard
+            FROM pairs WHERE jac >= 0.02 ORDER BY id_a, id_b
         """,
         "embedding_dedup": """
             WITH e AS (
