@@ -44,7 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _bm25_topk(
-    spark: SparkSession, sf_dir: str, filter_mod: int | None = None
+    spark: SparkSession, sf_dir: str, filter_mod: int | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """``filter_mod``: optional fq twin — restrict the RANKED domain to
     doc_id % filter_mod == 0 AFTER scoring. P2 semantics (SURVEY §2,
@@ -95,8 +96,14 @@ def _bm25_topk(
             ),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").alias("_nt"),
+        )
     )
+    if require_all:  # q.op=AND: doc must contain EVERY query term
+        scored = scored.filter(F.col("_nt") == len(BM25_QUERY_TERMS))
+    scored = scored.drop("_nt")
     from pyspark.sql import Window
 
     if filter_mod is not None:  # fq AFTER scoring — stats untouched
@@ -384,6 +391,125 @@ def q_bm25_filtered(spark, sf_dir):
     return _bm25_topk(spark, sf_dir, filter_mod=3)
 
 
+def q_bm25_conj(spark, sf_dir):
+    """Boolean MUST / q.op=AND twin (query/boolean.py::search_conj): a doc
+    must contain ALL query terms; the score is the same BM25 sum restricted
+    to that conjunctive domain. The engine's block-skipping intersection
+    kernel is rank-identity-pinned in tests/test_boolean.py; this exact
+    DataFrame twin makes the semantics oracle-checkable."""
+    return _bm25_topk(spark, sf_dir, require_all=True)
+
+
+PHRASE_TERMS = ["customer", "join"]  # adjacent pair realized at sf0.01
+
+
+def q_phrase(spark, sf_dir):
+    """Exact-phrase query twin (query/boolean.py::phrase_search), Lucene
+    PhraseQuery scoring: tf = phrase frequency (adjacent-occurrence count),
+    idf = Σ idf(term) over the phrase's unique terms, BM25 tf-normalization.
+    The token array is materialized in its own projection before the
+    sliding-window lambda (the PLANS.md §17 quadratic-inline-Column trap:
+    each position probe must re-reference a column, not re-run the split)."""
+    w0, w1 = PHRASE_TERMS
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: F.length(t) >= 2,
+        ).alias("toks"),
+    )
+    stats = toks.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size("toks")).alias("avgdl"),
+        F.sum(F.array_contains("toks", w0).cast("int")).alias("df0"),
+        F.sum(F.array_contains("toks", w1).cast("int")).alias("df1"),
+    ).collect()[0]
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    import math as _math
+
+    idf_sum = sum(
+        _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for df in (int(stats["df0"]), int(stats["df1"]))
+    )
+    t = F.col("toks")
+    pf_expr = F.when(
+        F.size(t) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: (F.element_at(t, i) == w0)
+                & (F.element_at(t, i + 1) == w1),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    scored = (
+        toks.withColumn("pf", pf_expr)
+        .filter(F.col("pf") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(idf_sum)
+                * F.col("pf")
+                / (
+                    F.col("pf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.size(t) / F.lit(avgdl)
+                    )
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("doc_id", F.round(F.col("score"), 4).alias("score"), "rank")
+    )
+
+
+def q_prefix_query(spark, sf_dir):
+    """Prefix/wildcard query twin (query/boolean.py::prefix_search):
+    constant-score docs containing ≥1 term starting with 's' (Lucene's
+    CONSTANT_SCORE multi-term rewrite — no BM25 ranking), index order."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= 2,
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.exists("toks", lambda t: t.startswith("s")))
+        .select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+def q_fuzzy_query(spark, sf_dir):
+    """Fuzzy query twin (query/boolean.py::fuzzy_search): constant-score
+    docs containing ≥1 term within Levenshtein 2 of 'sort' (matches 'sort'
+    and 'part' in the sf vocab) — both engines run the classic unweighted
+    edit distance, so the doc sets agree exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= 2,
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.exists("toks", lambda t: F.levenshtein(t, F.lit("sort")) <= 2))
+        .select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -660,6 +786,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split": q_split,
         "bm25_topk": q_bm25_topk,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_conj": q_bm25_conj,
+        "phrase": q_phrase,
+        "prefix_query": q_prefix_query,
+        "fuzzy_query": q_fuzzy_query,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -787,6 +917,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _BM25_ORACLE,
         "bm25_filtered": _bm25_oracle_sql("WHERE doc_id % 3 = 0"),
+        # q.op=AND: same scored CTE, HAVING pins all 3 query terms present
+        "bm25_conj": _BM25_ORACLE.replace(
+            "GROUP BY tf.doc_id",
+            "GROUP BY tf.doc_id HAVING count(*) = 3",
+        ),
+        "phrase": f"""
+            -- Lucene PhraseQuery scoring: tf = adjacent-occurrence count,
+            -- idf = Σ idf(term), BM25 tf-normalization (q_phrase twin)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) >= 2) AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, len(toks) AS dl FROM toks
+            ), stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+            ), dfs AS (
+              SELECT sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1
+              FROM toks
+            ), pf AS (
+              SELECT t.doc_id,
+                     len(list_filter(generate_series(1, len(t.toks) - 1),
+                         i -> t.toks[i] = 'customer' AND t.toks[i+1] = 'join')) AS pf,
+                     d.dl AS dl
+              FROM toks t JOIN dl d USING (doc_id)
+            ), scored AS (
+              SELECT pf.doc_id,
+                     round((ln(1.0 + (stats.n - dfs.df0 + 0.5) / (dfs.df0 + 0.5))
+                          + ln(1.0 + (stats.n - dfs.df1 + 0.5) / (dfs.df1 + 0.5)))
+                          * pf.pf / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * pf.dl / stats.avgdl)),
+                          6) AS score
+              FROM pf, stats, dfs WHERE pf.pf > 0
+            ), ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= {BM25_K}
+        """,
+        "prefix_query": """
+            -- constant-score multi-term rewrite: docs with ≥1 term LIKE 's%'
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     t -> length(t) >= 2) AS toks
+                  FROM documents)
+            WHERE len(list_filter(toks, t -> t LIKE 's%')) > 0
+            ORDER BY doc_id LIMIT 50
+        """,
+        "fuzzy_query": """
+            -- constant-score fuzzy: docs with ≥1 term within levenshtein 2
+            SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     t -> length(t) >= 2) AS toks
+                  FROM documents)
+            WHERE len(list_filter(toks, t -> levenshtein(t, 'sort') <= 2)) > 0
+            ORDER BY doc_id LIMIT 50
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fingerprint, count(*) AS dup_count, min(doc_id) AS keep_id
             FROM (SELECT doc_id, text FROM documents

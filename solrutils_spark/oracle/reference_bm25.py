@@ -24,8 +24,10 @@ class OracleIndex:
         """docs: list of (doc_id, content)."""
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
+        self.tokens: dict[int, list[str]] = {}
         for doc_id, content in docs:
             toks = analyze(content)
+            self.tokens[doc_id] = toks
             self.doc_len[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -53,3 +55,59 @@ class OracleIndex:
                 scores[doc_id] = scores.get(doc_id, 0.0) + idf * tf / (tf + norm)
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
+
+    def _contrib(self, term: str, doc_id: int, tf: int) -> float:
+        dl = self.doc_len[doc_id]
+        norm = K1 * (1.0 - B + B * dl / self.avgdl) if self.avgdl else K1
+        return self.idf(term) * tf / (tf + norm)
+
+    def search_conj(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive conjunctive (q.op=AND) BM25 top-k: doc must contain
+        ALL query terms; score = the same BM25 sum over those terms."""
+        terms = sorted(set(analyze(query_text)))
+        if not terms or any(t not in self.postings for t in terms):
+            return []
+        match = set(self.postings[terms[0]])
+        for t in terms[1:]:
+            match &= set(self.postings[t])
+        scores = {
+            d: sum(self._contrib(t, d, self.postings[t][d]) for t in terms)
+            for d in match
+        }
+        return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    def search_phrase(self, phrase_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exhaustive exact-phrase top-k, Lucene PhraseQuery scoring:
+        tf = phrase frequency, idf = Σ idf(term) over unique terms."""
+        seq = analyze(phrase_text)
+        if not seq:
+            return []
+        uniq = sorted(set(seq))
+        if any(t not in self.postings for t in uniq):
+            return []
+        idf_sum = sum(self.idf(t) for t in uniq)
+        m = len(seq)
+        scores: dict[int, float] = {}
+        for doc_id, toks in self.tokens.items():
+            pf = sum(
+                1
+                for i in range(len(toks) - m + 1)
+                if toks[i : i + m] == seq
+            )
+            if pf:
+                dl = self.doc_len[doc_id]
+                norm = K1 * (1.0 - B + B * dl / self.avgdl) if self.avgdl else K1
+                scores[doc_id] = idf_sum * pf / (pf + norm)
+        return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        import fnmatch
+
+        return sorted(t for t in self.postings if fnmatch.fnmatchcase(t, pattern))
+
+    def docs_with_any(self, terms: list[str]) -> list[int]:
+        """Constant-score multi-term domain: doc_ids (asc) containing ≥1 term."""
+        out: set[int] = set()
+        for t in terms:
+            out |= set(self.postings.get(t, {}))
+        return sorted(out)

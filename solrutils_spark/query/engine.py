@@ -314,6 +314,34 @@ class IndexReader:
             ranked = ranked.offset(offset)
         return ranked
 
+    def search_conj(self, query_text: str, k: int = 10, *, offset: int = 0,
+                    filter_df: DataFrame | None = None) -> DataFrame:
+        """Conjunctive (q.op=AND) BM25 top-k — see query/boolean.py."""
+        from solrutils_spark.query.boolean import search_conj
+
+        return search_conj(self, query_text, k, offset=offset,
+                           filter_df=filter_df)
+
+    def phrase_search(self, phrase_text: str, k: int = 10) -> DataFrame:
+        """Exact-phrase query (candidate-verify) — see query/boolean.py."""
+        from solrutils_spark.query.boolean import phrase_search
+
+        return phrase_search(self, phrase_text, k)
+
+    def prefix_search(self, pattern: str, k: int = 10,
+                      max_expansions: int = 1024) -> DataFrame:
+        """Prefix/wildcard query (constant-score) — see query/boolean.py."""
+        from solrutils_spark.query.boolean import prefix_search
+
+        return prefix_search(self, pattern, k, max_expansions)
+
+    def fuzzy_search(self, term: str, k: int = 10, max_edits: int = 1,
+                     max_expansions: int = 50) -> DataFrame:
+        """Fuzzy term query (constant-score) — see query/boolean.py."""
+        from solrutils_spark.query.boolean import fuzzy_search
+
+        return fuzzy_search(self, term, k, max_edits, max_expansions)
+
     def search_batch(
         self,
         queries: list[tuple[int, str, int]],

@@ -1,0 +1,227 @@
+"""Boolean/phrase/multi-term query surface (query/boolean.py): parity with
+the pure-Python oracle + block-skip machinery unit tests.
+
+Same build geometry as test_index_engine (tiny segments force multi-salt,
+multi-block layouts so the skip logic is actually exercised)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from solrutils_spark.corpus import reference_queries, synth_corpus
+from solrutils_spark.index.builder import build_index
+from solrutils_spark.oracle.reference_bm25 import OracleIndex
+from solrutils_spark.query.boolean import (
+    TooManyClauses,
+    _levenshtein_banded,
+    conj_matches,
+    expand_fuzzy,
+    expand_wildcard,
+    needed_block_runs,
+)
+from solrutils_spark.query.engine import IndexReader
+
+N_DOCS = 400
+SEGMENT_SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_bool"))
+    corpus = synth_corpus(spark, N_DOCS, hot_repeat=2_000)
+    build_index(corpus, out, segment_size=SEGMENT_SIZE, num_salts=3, num_buckets=16)
+    return out
+
+
+@pytest.fixture(scope="module")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, reader):
+    rows = reader.docs.select("doc_id", "content").collect()
+    return OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+
+
+# --------------------------------------------------- block-skip helpers ----
+
+
+def test_needed_block_runs_selects_overlapping_blocks_only():
+    # blocks: [10..20], (20..35], (35..50], (50..80]
+    bl = np.array([20, 35, 50, 80])
+    runs = needed_block_runs(bl, first_doc=10, cand=np.array([36, 37]))
+    assert runs == [(2, 3)]
+    # candidates straddling two non-adjacent blocks → two runs
+    runs = needed_block_runs(bl, first_doc=10, cand=np.array([12, 60]))
+    assert runs == [(0, 1), (3, 4)]
+    # adjacent needed blocks merge into one run
+    runs = needed_block_runs(bl, first_doc=10, cand=np.array([21, 36]))
+    assert runs == [(1, 3)]
+    # no overlap at all
+    assert needed_block_runs(bl, 10, np.array([5, 9])) == []
+    assert needed_block_runs(bl, 10, np.array([81, 99])) == []
+    assert needed_block_runs(bl, 10, np.empty(0, np.int64)) == []
+
+
+def test_levenshtein_banded_matches_full_dp():
+    def full(a, b):
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[la][lb]
+
+    words = ["posting", "postings", "posing", "hosting", "costing",
+             "post", "pasting", "sign", "posit", ""]
+    for a in words:
+        for b in words:
+            got = _levenshtein_banded(a, b, 2)
+            want = full(a, b)
+            # contract: exact distance when ≤ max_edits, anything above
+            # max_edits otherwise (early-exit may skip the exact value)
+            if want <= 2:
+                assert got == want, (a, b)
+            else:
+                assert got > 2, (a, b)
+
+
+# ------------------------------------------------------- conj parity ----
+
+
+def _multi_term_queries():
+    return [
+        (qid, q, k) for qid, q, k in reference_queries()
+        if len(set(q.split())) >= 2
+    ]
+
+
+@pytest.mark.parametrize("qid,qtext,k", _multi_term_queries())
+def test_conj_matches_oracle(reader, oracle, qid, qtext, k):
+    got = [(r["doc_id"], r["score"]) for r in reader.search_conj(qtext, k).collect()]
+    want = oracle.search_conj(qtext, k)
+    assert [d for d, _ in got] == [d for d, _ in want], qtext
+    assert np.allclose([s for _, s in got], [s for _, s in want], atol=1e-9)
+
+
+def test_conj_domain_is_subset_of_disjunction(reader, oracle):
+    q = "posting segment lucene"
+    conj_ids = {r["doc_id"] for r in conj_matches(reader, q.split()).collect()}
+    want = set(oracle.postings["posting"]) & set(oracle.postings["segment"]) \
+        & set(oracle.postings["lucene"])
+    assert conj_ids == want
+
+
+def test_conj_missing_term_matches_nothing(reader):
+    assert reader.search_conj("posting zzzneverseen", 10).count() == 0
+    assert reader.search_conj("", 10).count() == 0
+
+
+def test_conj_filtered_restricts_but_never_scores(spark, reader, oracle):
+    q = "posting segment"
+    full = oracle.search_conj(q, N_DOCS)
+    allowed = [d for d, _ in full if d % 3 == 0]
+    fdf = spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+    got = [(r["doc_id"], r["score"])
+           for r in reader.search_conj(q, 10, filter_df=fdf).collect()]
+    want = [(d, s) for d, s in full if d % 3 == 0][:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got], [s for _, s in want], atol=1e-9)
+
+
+# ------------------------------------------------------ phrase parity ----
+
+
+def test_phrase_matches_oracle(reader, oracle):
+    # take real adjacent bigrams/trigrams from corpus docs
+    phrases = []
+    for doc_id in sorted(oracle.tokens)[:5]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) >= 3:
+            phrases.append(" ".join(toks[0:2]))
+            phrases.append(" ".join(toks[1:4]))
+    assert phrases
+    for p in dict.fromkeys(phrases):
+        got = [(r["doc_id"], r["score"])
+               for r in reader.phrase_search(p, 10).collect()]
+        want = oracle.search_phrase(p, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], p
+        assert np.allclose([s for _, s in got], [s for _, s in want], atol=1e-9)
+        assert got, p  # the phrase came from a real doc — must match itself
+
+
+def test_phrase_order_matters(reader, oracle):
+    # pick a bigram (a, b) where "b a" never occurs in any doc
+    for doc_id in sorted(oracle.tokens):
+        toks = oracle.tokens[doc_id]
+        for i in range(len(toks) - 1):
+            a, b = toks[i], toks[i + 1]
+            if a == b:
+                continue
+            rev = [b, a]
+            if all(
+                rev != t[j : j + 2]
+                for t in oracle.tokens.values()
+                for j in range(len(t) - 1)
+            ):
+                assert reader.phrase_search(f"{a} {b}", 5).count() > 0
+                assert reader.phrase_search(f"{b} {a}", 5).count() == 0
+                return
+    pytest.skip("no order-asymmetric bigram in corpus")
+
+
+def test_phrase_single_token_degrades_to_term_query(reader):
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in reader.phrase_search("posting", 5).collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in reader.search("posting", 5).collect()]
+    assert got == want
+
+
+def test_phrase_with_absent_term_is_empty(reader):
+    assert reader.phrase_search("posting zzzneverseen", 5).count() == 0
+
+
+# -------------------------------------------- prefix / wildcard / fuzzy ----
+
+
+def test_prefix_expansion_and_docs_match_oracle(reader, oracle):
+    terms = expand_wildcard(reader, "post*")
+    assert terms == oracle.expand_wildcard("post*")
+    assert terms  # corpus contains posting*
+    got = [r["doc_id"] for r in reader.prefix_search("post*", 50).collect()]
+    assert got == oracle.docs_with_any(terms)[:50]
+
+
+def test_wildcard_question_mark(reader, oracle):
+    pat = "p?sting"
+    assert expand_wildcard(reader, pat) == oracle.expand_wildcard(pat)
+
+
+def test_wildcard_expansion_cap_is_loud(reader):
+    with pytest.raises(TooManyClauses):
+        expand_wildcard(reader, "*", max_expansions=3)
+
+
+def test_fuzzy_expansion_matches_bruteforce(reader, oracle):
+    got = expand_fuzzy(reader, "posting", max_edits=1, max_expansions=1000)
+    want = sorted(
+        t for t in oracle.postings if _levenshtein_banded("posting", t, 1) <= 1
+    )
+    assert got == want
+    assert "posting" in got
+
+
+def test_fuzzy_search_constant_score(reader, oracle):
+    rows = reader.fuzzy_search("posting", 20, max_edits=1,
+                               max_expansions=1000).collect()
+    assert all(r["score"] == 1.0 for r in rows)
+    terms = expand_fuzzy(reader, "posting", 1, 1000)
+    assert [r["doc_id"] for r in rows] == oracle.docs_with_any(terms)[:20]
