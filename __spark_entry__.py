@@ -510,6 +510,74 @@ def q_fuzzy_query(spark, sf_dir):
     )
 
 
+def q_boolean_query(spark, sf_dir):
+    """Boolean composition twin for the Lucene-syntax executor
+    (query/qparser.py::execute_boolean, pinned engine-side by
+    tests/test_qparser.py): the query ``+customer "table hash" -window`` —
+    MUST term (BM25 contribution), SHOULD phrase (PhraseQuery score, adds
+    where it matches), MUST_NOT exclusion. Domain = contains 'customer' ∧
+    ¬contains 'window'; score = customer contribution + phrase score."""
+    docs = _t(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: F.length(t) >= 2,
+        ).alias("toks"),
+    )
+    stats = toks_df.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size("toks")).alias("avgdl"),
+        F.sum(F.array_contains("toks", "customer").cast("int")).alias("dfc"),
+        F.sum(F.array_contains("toks", "table").cast("int")).alias("dft"),
+        F.sum(F.array_contains("toks", "hash").cast("int")).alias("dfh"),
+    ).collect()[0]
+    import math as _math
+
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    def _idf(df):
+        return _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    idf_c = _idf(int(stats["dfc"]))
+    idf_phrase = _idf(int(stats["dft"])) + _idf(int(stats["dfh"]))
+
+    t = F.col("toks")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(t) / F.lit(avgdl)
+    )
+    tf_c = F.size(F.filter(t, lambda x: x == "customer"))
+    contrib_c = F.lit(idf_c) * tf_c / (tf_c + norm)
+    pf = F.when(
+        F.size(t) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: (F.element_at(t, i) == "table")
+                & (F.element_at(t, i + 1) == "hash"),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    phrase_score = F.when(pf > 0, F.lit(idf_phrase) * pf / (pf + norm)).otherwise(
+        F.lit(0.0)
+    )
+    scored = (
+        toks_df.filter(
+            F.array_contains("toks", "customer")
+            & ~F.array_contains("toks", "window")
+        )
+        .select("doc_id", F.round(contrib_c + phrase_score, 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("doc_id", F.round(F.col("score"), 4).alias("score"), "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -790,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase": q_phrase,
         "prefix_query": q_prefix_query,
         "fuzzy_query": q_fuzzy_query,
+        "boolean_query": q_boolean_query,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -951,6 +1020,52 @@ def oracle_sql() -> dict[str, str]:
                           * pf.pf / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * pf.dl / stats.avgdl)),
                           6) AS score
               FROM pf, stats, dfs WHERE pf.pf > 0
+            ), ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= {BM25_K}
+        """,
+        "boolean_query": f"""
+            -- +customer "table hash" -window : MUST BM25 contribution +
+            -- SHOULD PhraseQuery score, MUST_NOT exclusion (q_boolean_query)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) >= 2) AS toks
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, len(toks) AS dl FROM toks
+            ), stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+            ), dfs AS (
+              SELECT sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS dfc,
+                     sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS dft,
+                     sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS dfh
+              FROM toks
+            ), per_doc AS (
+              SELECT t.doc_id,
+                     len(list_filter(t.toks, x -> x = 'customer')) AS tfc,
+                     len(list_filter(generate_series(1, len(t.toks) - 1),
+                         i -> t.toks[i] = 'table' AND t.toks[i+1] = 'hash')) AS pf,
+                     list_contains(t.toks, 'window') AS has_window,
+                     d.dl AS dl
+              FROM toks t JOIN dl d USING (doc_id)
+            ), scored AS (
+              SELECT p.doc_id,
+                     round(
+                       ln(1.0 + (stats.n - dfs.dfc + 0.5) / (dfs.dfc + 0.5))
+                         * p.tfc / (p.tfc + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / stats.avgdl))
+                       + CASE WHEN p.pf > 0 THEN
+                           (ln(1.0 + (stats.n - dfs.dft + 0.5) / (dfs.dft + 0.5))
+                            + ln(1.0 + (stats.n - dfs.dfh + 0.5) / (dfs.dfh + 0.5)))
+                           * p.pf / (p.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.dl / stats.avgdl))
+                         ELSE 0.0 END,
+                     6) AS score
+              FROM per_doc p, stats, dfs
+              WHERE p.tfc > 0 AND NOT p.has_window
             ), ranked AS (
               SELECT doc_id, score,
                      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank

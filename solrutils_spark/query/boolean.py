@@ -367,10 +367,18 @@ def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
     described in the module docstring. Single-token phrases degrade to the
     plain ranked query (Lucene parses ``"foo"`` to a TermQuery)."""
     seq = analyze(phrase_text)
-    if not seq:
-        return reader.spark.createDataFrame([], TOPK_DDL)
     if len(seq) == 1:
         return reader.search(phrase_text, k)
+    scored = phrase_scored(reader, phrase_text)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def phrase_scored(reader, phrase_text: str) -> DataFrame:
+    """ALL (doc_id, score) pairs matching the exact phrase (un-limited —
+    the boolean executor needs every contribution, not a top-k cut)."""
+    seq = analyze(phrase_text)
+    if not seq:
+        return reader.spark.createDataFrame([], TOPK_DDL)
     uniq = sorted(set(seq))
     live, idf_by_term = _live_terms(reader, uniq)
     if len(live) < len(uniq):
@@ -403,8 +411,7 @@ def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
                  "score": pd.Series(scores, dtype="float64")}
             )
 
-    res = joined.mapInPandas(verify, TOPK_DDL)
-    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return joined.mapInPandas(verify, TOPK_DDL)
 
 
 # ---------------------------------------------- multi-term expansions ----
