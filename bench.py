@@ -10,6 +10,10 @@ is warmed untimed first — the timed number tracks the engine, not JIT):
 - bm25_local_batch    : per-query pyarrow serving path; p50/p95 in extra
 - bm25_filtered[_batch]: scored+fq through the distributed cogroup filter
                         path (per-query loop + one-job batch twin)
+- bm25_conj_batch     : conjunctive (q.op=AND) queries through the
+                        block-skipping intersection kernel
+- phrase              : exact-phrase query (candidate-verify re-analysis)
+- boolean_query       : parsed Lucene-syntax boolean (+must "phrase" -not)
 - bm25_topk           : exact-DataFrame BM25 entry (driver-gate twin)
 - facet_field / json_facet_nested / topn_events / sort_paging / semi_join /
   ann_cosine          : headline relational operators at $SPARK_GRAFT_SF_DIR
@@ -156,6 +160,34 @@ def main() -> None:
     timings["bm25_filtered_batch"] = round(time.perf_counter() - t0, 3)
     extra["bm25_filtered_batch_qps"] = round(
         len(qset) / timings["bm25_filtered_batch"], 2)
+
+    # 2b. boolean surface (round 5): conjunctive queries (block-skipping
+    # intersection kernel), an exact-phrase query (candidate-verify), and a
+    # parsed Lucene-syntax boolean — same index, same warmup methodology
+    from solrutils_spark.functions.analyzer import analyze
+    from solrutils_spark.query.qparser import execute_boolean
+
+    conj_qs = [q for _, q, _ in qset if len(set(q.split())) >= 2][:12]
+    reader.search_conj(conj_qs[0], 10).count()  # warm the conj plan shape
+    t0 = time.perf_counter()
+    for q in conj_qs:
+        reader.search_conj(q, 10).count()
+    timings["bm25_conj_batch"] = round(time.perf_counter() - t0, 3)
+    extra["conj_queries"] = len(conj_qs)
+
+    row0 = reader.docs.orderBy("doc_id").select("content").first()
+    phrase_q = " ".join(analyze(row0["content"])[:2])  # realized bigram
+    reader.phrase_search(phrase_q, 10).count()  # warm
+    t0 = time.perf_counter()
+    reader.phrase_search(phrase_q, 10).count()
+    timings["phrase"] = round(time.perf_counter() - t0, 3)
+
+    w1, w2 = conj_qs[0].split()[:2]
+    bool_q = f'+{w1} "{phrase_q}" -{w2}'
+    execute_boolean(reader, bool_q, 10).count()  # warm
+    t0 = time.perf_counter()
+    execute_boolean(reader, bool_q, 10).count()
+    timings["boolean_query"] = round(time.perf_counter() - t0, 3)
 
     # 3. headline relational / pipeline operators on the sf tables
     qs = entry.queries()
