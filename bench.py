@@ -10,8 +10,9 @@ is warmed untimed first — the timed number tracks the engine, not JIT):
 - bm25_local_batch    : per-query pyarrow serving path; p50/p95 in extra
 - bm25_filtered[_batch]: scored+fq through the distributed cogroup filter
                         path (per-query loop + one-job batch twin)
-- bm25_conj_batch     : conjunctive (q.op=AND) queries through the
-                        block-skipping intersection kernel
+- bm25_conj_batch     : ALL multi-term queries as conjunctions (q.op=AND)
+                        in ONE job through the block-skipping intersection
+                        kernel; driver-local p50 in extra.bm25_conj_p50_ms
 - phrase              : exact-phrase query (candidate-verify re-analysis)
 - boolean_query       : parsed Lucene-syntax boolean (+must "phrase" -not)
 - bm25_topk           : exact-DataFrame BM25 entry (driver-gate twin)
@@ -167,13 +168,21 @@ def main() -> None:
     from solrutils_spark.functions.analyzer import analyze
     from solrutils_spark.query.qparser import execute_boolean
 
-    conj_qs = [q for _, q, _ in qset if len(set(q.split())) >= 2][:12]
-    reader.search_conj(conj_qs[0], 10).count()  # warm the conj plan shape
+    conj_qs = [(i, q, 10) for i, q in enumerate(
+        q for _, q, _ in qset if len(set(q.split())) >= 2)]
+    reader.search_conj_batch(conj_qs[:2]).count()  # warm the batch plan shape
     t0 = time.perf_counter()
-    for q in conj_qs:
-        reader.search_conj(q, 10).count()
+    reader.search_conj_batch(conj_qs).count()
     timings["bm25_conj_batch"] = round(time.perf_counter() - t0, 3)
     extra["conj_queries"] = len(conj_qs)
+    extra["bm25_conj_batch_qps"] = round(
+        len(conj_qs) / timings["bm25_conj_batch"], 2)
+    lat = []
+    for _, q, k in conj_qs:
+        t0 = time.perf_counter()
+        reader.search_conj_local(q, k)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    extra["bm25_conj_p50_ms"] = round(statistics.median(lat), 1)
 
     row0 = reader.docs.orderBy("doc_id").select("content").first()
     phrase_q = " ".join(analyze(row0["content"])[:2])  # realized bigram
@@ -182,7 +191,7 @@ def main() -> None:
     reader.phrase_search(phrase_q, 10).count()
     timings["phrase"] = round(time.perf_counter() - t0, 3)
 
-    w1, w2 = conj_qs[0].split()[:2]
+    w1, w2 = conj_qs[0][1].split()[:2]
     bool_q = f'+{w1} "{phrase_q}" -{w2}'
     execute_boolean(reader, bool_q, 10).count()  # warm
     t0 = time.perf_counter()

@@ -38,7 +38,7 @@ REPO = Path(__file__).resolve().parent
 
 BUILD_WORKER = r"""
 import json, sys, time
-sys.path.insert(0, {repo!r})
+import os; sys.path.insert(0, os.environ["SOLR_REPO"])
 from solrutils_spark.session import get_spark
 from solrutils_spark.corpus import synth_corpus
 from solrutils_spark.index.builder import build_index
@@ -53,13 +53,13 @@ corpus = spark.read.parquet(out + "/corpus.parquet")
 t0 = time.perf_counter()
 build_index(corpus, out + "/index", segment_size=max(128, n_docs // 256),
             num_salts=64, num_buckets=64)
-print("RESULT " + json.dumps({{"build_sec": round(time.perf_counter() - t0, 3)}}))
+print("RESULT " + json.dumps({"build_sec": round(time.perf_counter() - t0, 3)}))
 spark.stop()
 """
 
 QUERY_WORKER = r"""
 import json, sys, time
-sys.path.insert(0, {repo!r})
+import os; sys.path.insert(0, os.environ["SOLR_REPO"])
 import numpy as np
 from solrutils_spark.session import get_spark
 from solrutils_spark.query.engine import IndexReader
@@ -127,7 +127,18 @@ for rep in range(3):
     n_hits = reader.phrase_search(phrase_q, 10).count()
     ph_walls.append(round(time.perf_counter() - t0, 3))
 
-print("RESULT " + json.dumps({{
+reader.search_conj_local(conj_q, 10)  # warm (dataset discovery)
+loc_walls = []
+for rep in range(5):
+    t0 = time.perf_counter()
+    loc_res = reader.search_conj_local(conj_q, 10)
+    loc_walls.append(round((time.perf_counter() - t0) * 1e3, 1))
+assert sorted((int(d), round(float(s), 9)) for d, s in loc_res) == skip_res, \
+    "local conj path diverged from distributed"
+
+print("RESULT " + json.dumps({
+    "conj_local_p50_ms": sorted(loc_walls)[len(loc_walls) // 2],
+    "conj_local_walls_ms": loc_walls,
     "df_rare": dfs.get(RARE, 0), "df_hot": dfs.get(HOT, 0),
     "conj_skip_walls": skip_walls, "conj_decodeall_walls": full_walls,
     "conj_skip_sec": min(skip_walls), "conj_decodeall_sec": min(full_walls),
@@ -135,15 +146,16 @@ print("RESULT " + json.dumps({{
     "phrase": phrase_q, "phrase_candidates": n_cand,
     "phrase_hits": n_hits, "phrase_walls": ph_walls,
     "phrase_sec": min(ph_walls),
-}}))
+}))
 spark.stop()
 """
 
 
 def run(script: str, args: list[str]) -> dict:
     p = subprocess.run(
-        [sys.executable, "-c", script.format(repo=str(REPO)), *args],
+        [sys.executable, "-c", script, *args],
         capture_output=True, text=True, timeout=3600,
+        env={**__import__("os").environ, "SOLR_REPO": str(REPO)},
     )
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -113,16 +113,18 @@ def conj_slice(
     ``_PostingRow``). ``n_terms``: number of live query terms — a slice
     missing any term can contain no conjunctive match and returns without
     decoding a byte. Scores are the BM25 sum over the query terms (identical
-    arithmetic to the disjunctive kernels, summed rare→hot / term-asc —
-    deterministic). ``allowed_docs``: P2 filter semantics (restricts the
-    candidate set, never scores)."""
+    arithmetic to the disjunctive kernels, summed rare→hot by GLOBAL df —
+    idf desc, term asc — so the summation order, and hence every float, is
+    identical across the distributed per-slice, batch and driver-local
+    paths). ``allowed_docs``: P2 filter semantics (restricts the candidate
+    set, never scores)."""
     by_term: dict[str, list] = {}
     for r in rows:
         by_term.setdefault(r.term, []).append(r)
     if len(by_term) < n_terms:
         return _EMPTY
     ordered = sorted(
-        by_term.items(), key=lambda kv: (sum(int(r.df_part) for r in kv[1]), kv[0])
+        by_term.items(), key=lambda kv: (-idf_by_term[kv[0]], kv[0])
     )
     cand: np.ndarray | None = None
     tfns: list[np.ndarray] = []
@@ -299,6 +301,79 @@ def search_conj(
     if offset:
         ranked = ranked.offset(offset)
     return ranked
+
+
+def search_conj_batch(reader, queries: list[tuple[int, str, int]]) -> DataFrame:
+    """Many conjunctive queries in ONE Spark job
+    → DataFrame(query_id, doc_id, score, rank).
+
+    The conjunctive twin of :meth:`IndexReader.search_batch`: candidate rows
+    for the UNION of all live query terms are fetched once, each salt slice
+    runs the block-skipping intersection kernel per query, and a per-query
+    window takes global top-k. Unlike the disjunctive batch there is NO
+    shared decode — selective decode is the conjunctive kernel's whole win
+    (each query reads only the blocks its own candidate set can touch), so
+    the batch amortizes the JOB floor (scheduling + python-worker
+    round-trips, the measured dominant per-query cost) and nothing else.
+    Per-query results are rank- and score-identical to :meth:`search_conj`
+    (same kernel, same global-idf summation order; pinned)."""
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for _, q, _ in queries for t in set(analyze(q))})
+    dfs = reader.term_dfs(all_terms)
+    plans = []
+    for qid, qtext, k in queries:
+        terms = sorted(set(analyze(qtext)))
+        # MUST semantics: any dead term ⇒ the query matches nothing
+        if terms and all(dfs.get(t) for t in terms):
+            plans.append((qid, {t: reader.idf(dfs[t]) for t in terms}, k))
+    BATCH_DDL = "query_id long, doc_id long, score double"
+    if not plans:
+        return reader.spark.createDataFrame(
+            [], BATCH_DDL + ", rank int"
+        )
+    avgdl = float(reader.stats["avgdl"])
+    live_terms = sorted({t for _, idfs, _ in plans for t in idfs})
+    cand = reader._candidate_rows(live_terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_by_term: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            rows_by_term.setdefault(r.term, []).append(r)
+        live = []
+        for qid, idf_by_term, k in plans:
+            if any(t not in rows_by_term for t in idf_by_term):
+                continue  # slice lacks a term ⇒ no conjunctive match here
+            rows = [r for t in idf_by_term for r in rows_by_term[t]]
+            d, s = topk_conj(rows, idf_by_term, avgdl, k,
+                             n_terms=len(idf_by_term))
+            if d.size:
+                live.append((qid, d, s))
+        if not live:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype({"query_id": "int64", "doc_id": "int64",
+                      "score": "float64"})
+        qids = np.concatenate(
+            [np.full(d.size, qid, dtype=np.int64) for qid, d, _ in live]
+        )
+        return pd.DataFrame(
+            {"query_id": qids,
+             "doc_id": np.concatenate([d for _, d, _ in live]),
+             "score": np.concatenate([s for _, _, s in live])}
+        )
+
+    sliced = cand.groupBy("salt").applyInPandas(kernel, BATCH_DDL)
+    k_df = reader.spark.createDataFrame(
+        [(qid, k) for qid, _, k in plans], "query_id long, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sliced.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .drop("k")
+    )
 
 
 def conj_matches(reader, terms: list[str]) -> DataFrame:

@@ -435,6 +435,60 @@ class IndexReader:
             .drop("k")
         )
 
+    def _local_rows(self, terms: list[str]) -> list["_PostingRow"]:
+        """Candidate posting rows read directly with pyarrow (no Spark job):
+        bucket-directory pruned, term-filtered, dataset handles cached — the
+        shared driver-serving fetch under :meth:`search_local` and
+        :meth:`search_conj_local`."""
+        import pyarrow.dataset as ds
+
+        buckets = sorted({term_bucket(t, self.stats["num_buckets"]) for t in terms})
+        rows: list[_PostingRow] = []
+        index_root = Path(self.index_dir) / "index"
+        for b in buckets:
+            dset = self._bucket_datasets.get(b)
+            if dset is None:
+                bdir = index_root / f"bucket={b}"
+                if not bdir.exists():
+                    continue
+                dset = self._bucket_datasets[b] = ds.dataset(str(bdir))
+            tbl = dset.to_table(filter=ds.field("term").isin(terms))
+            if tbl.num_rows:
+                rows.extend(_rows_from_arrow(tbl))
+        return rows
+
+    def search_conj_local(self, query_text: str, k: int = 10, *,
+                          offset: int = 0) -> list[tuple[int, float]]:
+        """Driver-serving twin of :meth:`search_conj` — same pyarrow fetch as
+        :meth:`search_local`, same block-skipping intersection kernel as the
+        distributed path (``conj_slice`` merges multi-salt rows per term), so
+        results are rank- and score-identical by construction (pinned)."""
+        from solrutils_spark.query.boolean import topk_conj
+
+        terms = sorted(set(query_terms(query_text)))
+        if not terms:
+            return []
+        dfs = self.term_dfs(terms)
+        if len([t for t in terms if dfs.get(t)]) < len(terms):
+            return []  # MUST semantics: any dead term ⇒ no matches
+        idf_by_term = {t: self.idf(dfs[t]) for t in terms}
+        fetch_k = k + offset
+        rows = self._local_rows(terms)
+        if not rows:
+            return []
+        docs, scores = topk_conj(rows, idf_by_term, float(self.stats["avgdl"]),
+                                 fetch_k, n_terms=len(terms))
+        return [
+            (int(docs[i]), float(scores[i]))
+            for i in range(offset, min(fetch_k, docs.size))
+        ]
+
+    def search_conj_batch(self, queries: list[tuple[int, str, int]]) -> DataFrame:
+        """Many conjunctive queries in ONE Spark job — see query/boolean.py."""
+        from solrutils_spark.query.boolean import search_conj_batch
+
+        return search_conj_batch(self, queries)
+
     def search_local(
         self,
         query_text: str,
@@ -458,8 +512,6 @@ class IndexReader:
         conversion + traversal measured ~45% of serving latency), and
         per-bucket dataset discovery (a filesystem listing) is cached — the
         on-disk index is immutable after build."""
-        import pyarrow.dataset as ds
-
         terms = query_terms(query_text)
         dfs = self.term_dfs(terms)
         terms = [t for t in terms if dfs.get(t)]
@@ -469,19 +521,7 @@ class IndexReader:
         avgdl = float(self.stats["avgdl"])
         fetch_k = k + offset
 
-        buckets = sorted({term_bucket(t, self.stats["num_buckets"]) for t in terms})
-        rows: list[_PostingRow] = []
-        index_root = Path(self.index_dir) / "index"
-        for b in buckets:
-            dset = self._bucket_datasets.get(b)
-            if dset is None:
-                bdir = index_root / f"bucket={b}"
-                if not bdir.exists():
-                    continue
-                dset = self._bucket_datasets[b] = ds.dataset(str(bdir))
-            tbl = dset.to_table(filter=ds.field("term").isin(terms))
-            if tbl.num_rows:
-                rows.extend(_rows_from_arrow(tbl))
+        rows = self._local_rows(terms)
         if not rows:
             return []
         docs, scores = topk_rows(rows, idf_by_term, avgdl, fetch_k,

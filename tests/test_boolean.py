@@ -136,6 +136,41 @@ def test_conj_filtered_restricts_but_never_scores(spark, reader, oracle):
     assert np.allclose([s for _, s in got], [s for _, s in want], atol=1e-9)
 
 
+def test_conj_batch_rank_identical_to_per_query(reader, oracle):
+    queries = _multi_term_queries()
+    got = reader.search_conj_batch(queries).collect()
+    by_qid: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"]))
+    for qid, qtext, k in queries:
+        want = [(r["doc_id"], r["score"])
+                for r in reader.search_conj(qtext, k).collect()]
+        batch = by_qid.get(qid, [])
+        assert [d for d, _ in batch] == [d for d, _ in want], qtext
+        assert np.allclose([s for _, s in batch], [s for _, s in want],
+                           atol=0), qtext  # bit-identical: same kernel+order
+
+
+def test_conj_batch_dead_term_query_matches_nothing(reader):
+    queries = [(0, "posting segment", 5), (1, "posting zzzneverseen", 5)]
+    got = reader.search_conj_batch(queries).collect()
+    qids = {r["query_id"] for r in got}
+    assert 1 not in qids and 0 in qids
+
+
+def test_conj_local_matches_distributed(reader):
+    for qid, qtext, k in _multi_term_queries():
+        want = [(r["doc_id"], r["score"])
+                for r in reader.search_conj(qtext, k).collect()]
+        got = reader.search_conj_local(qtext, k)
+        assert [d for d, _ in got] == [d for d, _ in want], qtext
+        assert np.allclose([s for _, s in got], [s for _, s in want],
+                           atol=0), qtext  # bit-identical: same kernel+order
+    assert reader.search_conj_local("posting zzzneverseen", 5) == []
+    assert reader.search_conj_local("", 5) == []
+
+
 # ------------------------------------------------------ phrase parity ----
 
 
