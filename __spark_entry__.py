@@ -578,6 +578,124 @@ def q_boolean_query(spark, sf_dir):
     )
 
 
+def _toks_stats(spark, sf_dir):
+    """(toks_df, n, avgdl) shared by the boolean-surface twins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: F.length(t) >= 2,
+        ).alias("toks"),
+    )
+    stats = toks_df.agg(
+        F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    ).collect()[0]
+    return toks_df, int(stats["n"]), float(stats["avgdl"])
+
+
+def _idf_of(spark, sf_dir, toks_df, n, term):
+    df = toks_df.agg(
+        F.sum(F.array_contains("toks", term).cast("int")).alias("df")
+    ).collect()[0]["df"]
+    import math as _math
+
+    return _math.log(1.0 + (n - int(df) + 0.5) / (int(df) + 0.5)), int(df)
+
+
+def _ranked(scored):
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("doc_id", F.round(F.col("score"), 4).alias("score"), "rank")
+    )
+
+
+def q_field_query(spark, sf_dir):
+    """Field-scoped clause twin (query/qparser.py field_term execution,
+    pinned engine-side by tests/test_qparser.py): ``lang:en AND customer``.
+    Lucene BM25 on a single-token keyword field gives tf=1, |d|=avgdl=1 ⇒
+    the clause contributes the per-value constant idf(df_lang_en)/(1+k1);
+    the text MUST term contributes normal BM25. Domain = lang='en' ∧
+    contains 'customer'."""
+    toks_df, n, avgdl = _toks_stats(spark, sf_dir)
+    idf_c, _ = _idf_of(spark, sf_dir, toks_df, n, "customer")
+    import math as _math
+
+    df_en = toks_df.filter(F.col("lang") == "en").count()
+    field_score = _math.log(1.0 + (n - df_en + 0.5) / (df_en + 0.5)) / (
+        1.0 + BM25_K1
+    )
+    t = F.col("toks")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(t) / F.lit(avgdl)
+    )
+    tf_c = F.size(F.filter(t, lambda x: x == "customer"))
+    scored = (
+        toks_df.filter((F.col("lang") == "en") & (tf_c > 0))
+        .select(
+            "doc_id",
+            F.round(F.lit(field_score) + F.lit(idf_c) * tf_c / (tf_c + norm),
+                    6).alias("score"),
+        )
+    )
+    return _ranked(scored)
+
+
+def q_range_query(spark, sf_dir):
+    """Range clause twin (query/qparser.py range execution): ``+customer
+    doc_id:[100 TO 499]`` — the MUST text term scores BM25, the SHOULD range
+    adds Lucene's constant-score 1.0 wherever it matches (ranges rewrite to
+    constant score). Domain = contains 'customer' (the range is optional)."""
+    toks_df, n, avgdl = _toks_stats(spark, sf_dir)
+    idf_c, _ = _idf_of(spark, sf_dir, toks_df, n, "customer")
+    t = F.col("toks")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(t) / F.lit(avgdl)
+    )
+    tf_c = F.size(F.filter(t, lambda x: x == "customer"))
+    in_range = F.col("doc_id").between(100, 499).cast("double")
+    scored = (
+        toks_df.filter(tf_c > 0)
+        .select(
+            "doc_id",
+            F.round(F.lit(idf_c) * tf_c / (tf_c + norm) + in_range,
+                    6).alias("score"),
+        )
+    )
+    return _ranked(scored)
+
+
+def q_grouped_boolean(spark, sf_dir):
+    """Grouping twin (query/qparser.py Group execution): ``(customer OR
+    supplier) AND -window`` — the group is a MUST sub-BooleanQuery whose
+    score is the inner SHOULD sum and whose domain is ≥1 inner match; the
+    MUST_NOT excludes. Domain = (customer ∨ supplier) ∧ ¬window."""
+    toks_df, n, avgdl = _toks_stats(spark, sf_dir)
+    idf_c, _ = _idf_of(spark, sf_dir, toks_df, n, "customer")
+    idf_s, _ = _idf_of(spark, sf_dir, toks_df, n, "supplier")
+    t = F.col("toks")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(t) / F.lit(avgdl)
+    )
+    tf_c = F.size(F.filter(t, lambda x: x == "customer"))
+    tf_s = F.size(F.filter(t, lambda x: x == "supplier"))
+    contrib = (
+        F.when(tf_c > 0, F.lit(idf_c) * tf_c / (tf_c + norm)).otherwise(F.lit(0.0))
+        + F.when(tf_s > 0, F.lit(idf_s) * tf_s / (tf_s + norm)).otherwise(F.lit(0.0))
+    )
+    scored = (
+        toks_df.filter(
+            ((tf_c > 0) | (tf_s > 0)) & ~F.array_contains("toks", "window")
+        )
+        .select("doc_id", F.round(contrib, 6).alias("score"))
+    )
+    return _ranked(scored)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -859,6 +977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_query": q_prefix_query,
         "fuzzy_query": q_fuzzy_query,
         "boolean_query": q_boolean_query,
+        "field_query": q_field_query,
+        "range_query": q_range_query,
+        "grouped_boolean": q_grouped_boolean,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1066,6 +1187,109 @@ def oracle_sql() -> dict[str, str]:
                      6) AS score
               FROM per_doc p, stats, dfs
               WHERE p.tfc > 0 AND NOT p.has_window
+            ), ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= {BM25_K}
+        """,
+        "field_query": f"""
+            -- lang:en AND customer : keyword-field BM25 constant
+            -- idf(df_en)/(1+k1) + text-term BM25 (q_field_query)
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) >= 2) AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+                     sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS dfc,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS dfen
+              FROM toks
+            ), scored AS (
+              SELECT t.doc_id,
+                     round(
+                       ln(1.0 + (s.n - s.dfen + 0.5) / (s.dfen + 0.5)) / (1.0 + {BM25_K1})
+                       + ln(1.0 + (s.n - s.dfc + 0.5) / (s.dfc + 0.5))
+                         * len(list_filter(t.toks, x -> x = 'customer'))
+                         / (len(list_filter(t.toks, x -> x = 'customer'))
+                            + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(t.toks) / s.avgdl)),
+                     6) AS score
+              FROM toks t, stats s
+              WHERE t.lang = 'en' AND list_contains(t.toks, 'customer')
+            ), ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= {BM25_K}
+        """,
+        "range_query": f"""
+            -- +customer doc_id:[100 TO 499] : BM25 MUST + constant-score
+            -- SHOULD range (q_range_query)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) >= 2) AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+                     sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS dfc
+              FROM toks
+            ), scored AS (
+              SELECT t.doc_id,
+                     round(
+                       ln(1.0 + (s.n - s.dfc + 0.5) / (s.dfc + 0.5))
+                         * len(list_filter(t.toks, x -> x = 'customer'))
+                         / (len(list_filter(t.toks, x -> x = 'customer'))
+                            + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(t.toks) / s.avgdl))
+                       + CASE WHEN t.doc_id BETWEEN 100 AND 499 THEN 1.0 ELSE 0.0 END,
+                     6) AS score
+              FROM toks t, stats s
+              WHERE list_contains(t.toks, 'customer')
+            ), ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= {BM25_K}
+        """,
+        "grouped_boolean": f"""
+            -- (customer OR supplier) AND -window : MUST group sub-query +
+            -- MUST_NOT exclusion (q_grouped_boolean)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) >= 2) AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+                     sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS dfc,
+                     sum(CASE WHEN list_contains(toks, 'supplier') THEN 1 ELSE 0 END) AS dfs
+              FROM toks
+            ), scored AS (
+              SELECT t.doc_id,
+                     round(
+                       CASE WHEN list_contains(t.toks, 'customer') THEN
+                         ln(1.0 + (s.n - s.dfc + 0.5) / (s.dfc + 0.5))
+                           * len(list_filter(t.toks, x -> x = 'customer'))
+                           / (len(list_filter(t.toks, x -> x = 'customer'))
+                              + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(t.toks) / s.avgdl))
+                       ELSE 0.0 END
+                       + CASE WHEN list_contains(t.toks, 'supplier') THEN
+                         ln(1.0 + (s.n - s.dfs + 0.5) / (s.dfs + 0.5))
+                           * len(list_filter(t.toks, x -> x = 'supplier'))
+                           / (len(list_filter(t.toks, x -> x = 'supplier'))
+                              + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(t.toks) / s.avgdl))
+                       ELSE 0.0 END,
+                     6) AS score
+              FROM toks t, stats s
+              WHERE (list_contains(t.toks, 'customer') OR list_contains(t.toks, 'supplier'))
+                AND NOT list_contains(t.toks, 'window')
             ), ranked AS (
               SELECT doc_id, score,
                      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank

@@ -72,12 +72,17 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, 8000, numPartitions=8).mapInPandas(lambda it: it, "id long").count()
 reader = IndexReader(spark, idx + "/index").cache_for_serving()
 
-RARE = "blockboundaryalpha"          # planted df=128 band (corpus.py:17)
-# hottest REAL term = the max-df row of the termdf sidecar (the Zipf head)
+# pick the query pair from the termdf sidecar (REAL indexed terms — the
+# planted camelCase markers analyze into sub-tokens, so literal fixture
+# strings are not index terms): HOT = the Zipf-head max-df term, RARE = the
+# term whose df is closest to 128 (one-block band)
+import numpy as np
 import pyarrow.dataset as ds
 vocab = ds.dataset(idx + "/index/termdf").to_table(columns=["term", "df"])
-hot_i = max(range(vocab.num_rows), key=lambda i: vocab["df"][i].as_py())
-HOT = vocab["term"][hot_i].as_py()
+terms = vocab["term"].to_pylist()
+df_arr = np.asarray(vocab["df"].to_pylist(), dtype=np.int64)
+HOT = terms[int(df_arr.argmax())]
+RARE = terms[int(np.abs(df_arr - 128).argmin())]
 dfs = reader.term_dfs([RARE, HOT])
 conj_q = f"{RARE} {HOT}"
 
@@ -136,9 +141,34 @@ for rep in range(5):
 assert sorted((int(d), round(float(s), 9)) for d, s in loc_res) == skip_res, \
     "local conj path diverged from distributed"
 
+# driver-local A/B where the kernel (not the job floor) is the wall: count
+# the later-term blocks each arm decodes, and time both arms
+counted = {"skip": 0, "full": 0}
+def _counting(bl, fd, cand):
+    runs = _real(bl, fd, cand)
+    counted["skip"] += sum(i1 - i0 for i0, i1 in runs)
+    counted["full"] += len(bl)
+    return runs
+B.needed_block_runs = _counting
+reader.search_conj_local(conj_q, 10)
+B.needed_block_runs = _real
+loc_full_walls = []
+for rep in range(5):
+    B.needed_block_runs = _full_runs
+    t0 = time.perf_counter()
+    full_loc = reader.search_conj_local(conj_q, 10)
+    loc_full_walls.append(round((time.perf_counter() - t0) * 1e3, 1))
+    B.needed_block_runs = _real
+assert [(int(d), round(float(s), 9)) for d, s in full_loc] == \
+    [(int(d), round(float(s), 9)) for d, s in loc_res], "decode-all diverged"
+
 print("RESULT " + json.dumps({
     "conj_local_p50_ms": sorted(loc_walls)[len(loc_walls) // 2],
     "conj_local_walls_ms": loc_walls,
+    "conj_local_decodeall_p50_ms": sorted(loc_full_walls)[len(loc_full_walls) // 2],
+    "conj_local_decodeall_walls_ms": loc_full_walls,
+    "later_term_blocks_skip": counted["skip"],
+    "later_term_blocks_total": counted["full"],
     "df_rare": dfs.get(RARE, 0), "df_hot": dfs.get(HOT, 0),
     "conj_skip_walls": skip_walls, "conj_decodeall_walls": full_walls,
     "conj_skip_sec": min(skip_walls), "conj_decodeall_sec": min(full_walls),

@@ -6,36 +6,52 @@ The reference's search model renders raw Lucene query strings into ``q`` /
 syntax Solr's LuceneQParser accepts). This module parses the practical core
 of that syntax and executes it against the engine with DataFrame algebra:
 
-  supported   ::=  clause (connector? clause)*
-  clause      ::=  [+|-|NOT|!] atom [~edits] [^boost]
-  atom        ::=  '"' words '"'  |  word-with-*-or-?  |  word
+  query       ::=  node (connector? node)*
+  node        ::=  [+|-|NOT|!] ( group | clause )
+  group       ::=  '(' query ')' [^boost]
+  clause      ::=  [field ':'] atom [~edits] [^boost]
+  atom        ::=  '"' words '"'  |  range  |  word-with-*-or-?  |  word
+  range       ::=  ('['|'{') lo TO hi (']'|'}')
   connector   ::=  AND | OR | && | ||
 
-Semantics are Lucene BooleanQuery's (flat — the practical left-to-right
-mapping, not the parser's notorious precedence corners):
+Semantics are Lucene BooleanQuery's (flat left-to-right promotion at each
+nesting level — the practical mapping, not the parser's notorious
+precedence corners):
 
-- bare clauses are SHOULD under the default OR operator;
-- ``AND`` promotes BOTH adjacent clauses to MUST;
+- bare nodes are SHOULD under the default OR operator;
+- ``AND`` promotes BOTH adjacent nodes to MUST;
 - ``+`` is MUST, ``-`` / ``NOT`` / ``!`` is MUST_NOT;
 - the match domain is: every MUST matches ∧ (≥1 SHOULD matches when there
   is no MUST) ∧ no MUST_NOT matches;
 - the score is the sum of matching MUST+SHOULD contributions (SHOULD
   contributes wherever it matches even when not required), each × boost;
-- term and phrase clauses score BM25 (phrase: PhraseQuery scoring); wildcard
-  and fuzzy clauses are constant-score 1.0 (Lucene's CONSTANT_SCORE
-  multi-term rewrite);
+- a parenthesized group is a sub-BooleanQuery: its score is the inner sum,
+  its domain the inner match domain, recursively;
+- term and phrase clauses on the text field score BM25 (phrase: PhraseQuery
+  scoring); wildcard and fuzzy clauses are constant-score 1.0 (Lucene's
+  CONSTANT_SCORE multi-term rewrite);
+- ``field:value`` on a METADATA field (the stored keyword columns ``repo``,
+  ``path``, ``commit``, ``lang``) scores exactly what Lucene's BM25 gives a
+  TermQuery on a single-token keyword field: tf = 1, |d| = avgdl = 1 ⇒
+  ``idf(df_value) / (1 + k1)`` — a per-value constant. ``field:pre*``
+  wildcards and ``field:[a TO b]`` / ``{a TO b}`` ranges (``*`` = open
+  endpoint; ``doc_id`` ranges compare numerically) are constant-score 1.0
+  (Lucene rewrites multi-term/range queries to constant score);
+  ``content:value`` is the plain text-field clause;
 - a MUST_NOT-only query matches nothing (Lucene: no positive clause).
 
-Unsupported constructs fail LOUDLY (``UnsupportedQuerySyntax``): grouping
-parentheses, field-scoped clauses (the engine indexes one text field),
-range queries ``[a TO b]``, and proximity phrases ``"a b"~N`` — the same
-honest-gate contract as sources/minixslt.py.
+Unsupported constructs fail LOUDLY (``UnsupportedQuerySyntax``): proximity
+phrases ``"a b"~N`` (the index is positionless — phrase matching is
+candidate re-analysis, exact-adjacency only), ``field:(...)`` grouping,
+fuzzy on metadata fields, and unknown field names — the same honest-gate
+contract as sources/minixslt.py.
 
-Execution is pure DataFrame algebra over per-clause retrievals — each
-clause is an indexed posting read (bounded by its df), contributions union
-into one hash aggregation, domain restriction is semi/anti joins on
-doc_id. No driver-side doc loops; at cluster scale every step is a bounded
-shuffle keyed on doc_id.
+Execution is pure DataFrame algebra over per-clause retrievals — each text
+clause is an indexed posting read (bounded by its df), each metadata clause
+a pushed-down filter on the docs table, contributions union into one hash
+aggregation, domain restriction is semi/anti joins on doc_id. No
+driver-side doc loops; at cluster scale every step is a bounded shuffle
+keyed on doc_id.
 """
 
 from __future__ import annotations
@@ -46,7 +62,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solrutils_spark.functions.analyzer import analyze
+from solrutils_spark.functions.analyzer import K1, analyze
 from solrutils_spark.query.boolean import (
     TOPK_DDL,
     expand_fuzzy,
@@ -58,6 +74,12 @@ from solrutils_spark.query.boolean import (
 
 MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
 
+#: stored keyword columns a ``field:`` clause may target (the docs table's
+#: metadata per the source schema (repo, path, commit, lang, content))
+METADATA_FIELDS = ("repo", "path", "commit", "lang")
+TEXT_FIELD = "content"
+ID_FIELD = "doc_id"
+
 
 class UnsupportedQuerySyntax(ValueError):
     """Query uses a construct outside the supported Lucene subset."""
@@ -65,112 +87,234 @@ class UnsupportedQuerySyntax(ValueError):
 
 @dataclass
 class Clause:
-    kind: str  # term | phrase | wildcard | fuzzy
-    text: str
+    kind: str  # term | phrase | wildcard | fuzzy | field_term |
+    #            field_wildcard | range
+    text: str = ""
     occur: str = SHOULD
     boost: float = 1.0
     max_edits: int = 2  # Lucene: bare ~ means edit distance 2
+    field_name: str = ""
+    lo: str = ""
+    hi: str = ""
+    incl_lo: bool = True
+    incl_hi: bool = True
     explicit_occur: bool = field(default=False, repr=False)
 
 
-_TOKEN_RE = re.compile(
-    r"""
-    \s*(?:
-        (?P<quoted>"(?P<qbody>[^"]*)"(?P<qsuffix>~\d+)?)
-      | (?P<connector>AND|OR|NOT|&&|\|\||!)(?=\s|$|")
-      | (?P<bare>[^\s"]+)
-    )
-    """,
-    re.VERBOSE,
-)
-
-_CLAUSE_RE = re.compile(
-    r"^(?P<prefix>[+\-!])?(?P<body>[^~^]+)(?P<fuzzy>~(?P<edits>\d*))?"
-    r"(?P<boost>\^(?P<bval>\d+(?:\.\d+)?))?$"
-)
+@dataclass
+class Group:
+    children: list  # list[Clause | Group]
+    occur: str = SHOULD
+    boost: float = 1.0
+    explicit_occur: bool = field(default=False, repr=False)
 
 
-def parse_query(q: str) -> list[Clause]:
-    """Parse a Lucene-subset query string into a flat clause list."""
-    if "(" in q or ")" in q:
-        raise UnsupportedQuerySyntax(f"grouping parentheses not supported: {q!r}")
-    if re.search(r"\[[^\]]*\bTO\b", q):
-        raise UnsupportedQuerySyntax(f"range queries not supported: {q!r}")
+_WS_RE = re.compile(r"\s*")
+_CONNECTOR_RE = re.compile(r"(?:AND|OR|NOT|&&|\|\||!)(?=[\s(\"]|$)")
+_FIELD_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*):")
+_QUOTED_RE = re.compile(r'"([^"]*)"(~\d+)?')
+_RANGE_RE = re.compile(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])")
+_BARE_RE = re.compile(r'[^\s"()]+')
+_SUFFIX_RE = re.compile(r"^(?P<body>.*?)(?P<fuzzy>~(?P<edits>\d*))?"
+                        r"(?P<boost>\^(?P<bval>\d+(?:\.\d+)?))?$")
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
 
-    clauses: list[Clause] = []
+
+def parse_query(q: str) -> list:
+    """Parse a Lucene-subset query string into a boolean tree (a flat list
+    of :class:`Clause` / :class:`Group` nodes at the top level)."""
+    nodes, pos = _parse_nodes(q, 0, depth=0)
+    if pos != len(q):
+        raise UnsupportedQuerySyntax(f"unbalanced ')' at: {q[pos:]!r}")
+    return nodes
+
+
+def _parse_nodes(q: str, pos: int, depth: int) -> tuple[list, int]:
+    nodes: list = []
     pending_occur: str | None = None
     pending_and = False
-    pos = 0
+    pending_prefix: str | None = None
+
+    def attach(node) -> None:
+        nonlocal pending_occur, pending_and, pending_prefix
+        if pending_prefix == "+":
+            node.occur, node.explicit_occur = MUST, True
+        elif pending_prefix == "-":
+            node.occur, node.explicit_occur = MUST_NOT, True
+        if pending_occur is not None and not node.explicit_occur:
+            node.occur, node.explicit_occur = pending_occur, True
+        if pending_and and not node.explicit_occur and node.occur == SHOULD:
+            node.occur = MUST
+        pending_occur = None
+        pending_and = False
+        pending_prefix = None
+        nodes.append(node)
+
     while pos < len(q):
-        m = _TOKEN_RE.match(q, pos)
-        if not m or m.end() == pos:
-            if q[pos:].strip():
-                raise UnsupportedQuerySyntax(f"cannot tokenize at: {q[pos:]!r}")
+        pos = _WS_RE.match(q, pos).end()
+        if pos >= len(q):
             break
-        pos = m.end()
-        if m.group("connector"):
-            c = m.group("connector")
+        ch = q[pos]
+        if ch == ")":
+            if depth == 0:
+                raise UnsupportedQuerySyntax(f"unbalanced ')' at: {q[pos:]!r}")
+            break
+        if ch in "+-!" and pending_prefix is None and pos + 1 < len(q) \
+                and not q[pos + 1].isspace():
+            pending_prefix = "-" if ch == "!" else ch
+            pos += 1
+            continue
+        if ch == "(":
+            children, pos = _parse_nodes(q, pos + 1, depth + 1)
+            if pos >= len(q) or q[pos] != ")":
+                raise UnsupportedQuerySyntax(f"unclosed '(' in: {q!r}")
+            pos += 1
+            g = Group(children=children)
+            bm = _BOOST_RE.match(q, pos)
+            if bm:
+                g.boost = float(bm.group(1))
+                pos = bm.end()
+            if not children:
+                raise UnsupportedQuerySyntax(f"empty group in: {q!r}")
+            attach(g)
+            continue
+        m = _CONNECTOR_RE.match(q, pos) if pending_prefix is None else None
+        if m:
+            c = m.group(0)
+            pos = m.end()
             if c in ("NOT", "!"):
                 pending_occur = MUST_NOT
             elif c in ("AND", "&&"):
-                if not clauses:
+                if not nodes:
                     raise UnsupportedQuerySyntax(f"AND with no left clause: {q!r}")
-                prev = clauses[-1]
+                prev = nodes[-1]
                 if not prev.explicit_occur and prev.occur == SHOULD:
                     prev.occur = MUST
                 pending_and = True
             # OR: default occur stays SHOULD
             continue
-        if m.group("quoted") is not None:
-            if m.group("qsuffix"):
+        fname = ""
+        fm = _FIELD_RE.match(q, pos)
+        if fm:
+            fname = fm.group(1)
+            pos = fm.end()
+            if pos < len(q) and q[pos] == "(":
                 raise UnsupportedQuerySyntax(
-                    f"proximity phrases not supported: {m.group('quoted')!r}"
+                    f"field-scoped groups not supported: {fname}:(...)"
                 )
-            cl = Clause(kind="phrase", text=m.group("qbody"))
-        else:
-            raw = m.group("bare")
-            cm = _CLAUSE_RE.match(raw)
-            if not cm:
-                raise UnsupportedQuerySyntax(f"cannot parse clause: {raw!r}")
-            body = cm.group("body")
-            if ":" in body:
-                raise UnsupportedQuerySyntax(
-                    f"field-scoped clauses not supported (single text field): {raw!r}"
-                )
-            if cm.group("prefix") == "+":
-                occur, explicit = MUST, True
-            elif cm.group("prefix") in ("-", "!"):
-                occur, explicit = MUST_NOT, True
-            else:
-                occur, explicit = SHOULD, False
-            if cm.group("fuzzy") is not None:
-                if "*" in body or "?" in body:
-                    raise UnsupportedQuerySyntax(f"fuzzy wildcard: {raw!r}")
-                edits = int(cm.group("edits")) if cm.group("edits") else 2
-                cl = Clause(kind="fuzzy", text=body.lower(), occur=occur,
-                            max_edits=edits, explicit_occur=explicit)
-            elif "*" in body or "?" in body:
-                cl = Clause(kind="wildcard", text=body.lower(), occur=occur,
-                            explicit_occur=explicit)
-            else:
-                cl = Clause(kind="term", text=body, occur=occur,
-                            explicit_occur=explicit)
-            if cm.group("boost"):
-                cl.boost = float(cm.group("bval"))
-        if pending_occur is not None and not cl.explicit_occur:
-            cl.occur = pending_occur
-            cl.explicit_occur = True
-        pending_occur = None
-        if pending_and and not cl.explicit_occur and cl.occur == SHOULD:
-            cl.occur = MUST
-        pending_and = False
-        clauses.append(cl)
-    if pending_occur is not None or pending_and:
+        cl, pos = _parse_atom(q, pos, fname)
+        attach(cl)
+    if pending_occur is not None or pending_and or pending_prefix:
         raise UnsupportedQuerySyntax(f"dangling connector: {q!r}")
-    return clauses
+    return nodes, pos
+
+
+def _parse_atom(q: str, pos: int, fname: str) -> tuple[Clause, int]:
+    qm = _QUOTED_RE.match(q, pos)
+    if qm:
+        if qm.group(2):
+            raise UnsupportedQuerySyntax(
+                f"proximity phrases not supported: {qm.group(0)!r}"
+            )
+        if fname and fname != TEXT_FIELD:
+            raise UnsupportedQuerySyntax(
+                f"phrase on non-text field: {fname}:{qm.group(0)!r}"
+            )
+        pos = qm.end()
+        cl = Clause(kind="phrase", text=qm.group(1))
+        bm = _BOOST_RE.match(q, pos)
+        if bm:
+            cl.boost = float(bm.group(1))
+            pos = bm.end()
+        return cl, pos
+    rm = _RANGE_RE.match(q, pos)
+    if rm:
+        if not fname:
+            raise UnsupportedQuerySyntax(
+                f"range without a field: {rm.group(0)!r}"
+            )
+        _check_field(fname, allow_id=True)
+        if fname == TEXT_FIELD:
+            raise UnsupportedQuerySyntax("range on the text field")
+        pos = rm.end()
+        cl = Clause(
+            kind="range", field_name=fname, lo=rm.group(2), hi=rm.group(3),
+            incl_lo=rm.group(1) == "[", incl_hi=rm.group(4) == "]",
+        )
+        bm = _BOOST_RE.match(q, pos)
+        if bm:
+            cl.boost = float(bm.group(1))
+            pos = bm.end()
+        return cl, pos
+    bm_ = _BARE_RE.match(q, pos)
+    if not bm_:
+        raise UnsupportedQuerySyntax(f"cannot tokenize at: {q[pos:]!r}")
+    raw = bm_.group(0)
+    pos = bm_.end()
+    sm = _SUFFIX_RE.match(raw)
+    body = sm.group("body")
+    if not body:
+        raise UnsupportedQuerySyntax(f"cannot parse clause: {raw!r}")
+    if ":" in body:
+        raise UnsupportedQuerySyntax(f"nested ':' in clause: {raw!r}")
+    boost = float(sm.group("bval")) if sm.group("boost") else 1.0
+    if sm.group("fuzzy") is not None:
+        if "*" in body or "?" in body:
+            raise UnsupportedQuerySyntax(f"fuzzy wildcard: {raw!r}")
+        if fname and fname != TEXT_FIELD:
+            raise UnsupportedQuerySyntax(
+                f"fuzzy on non-text field: {fname}:{raw!r}"
+            )
+        edits = int(sm.group("edits")) if sm.group("edits") else 2
+        return Clause(kind="fuzzy", text=body.lower(), max_edits=edits,
+                      boost=boost), pos
+    if fname and fname != TEXT_FIELD:
+        _check_field(fname)
+        if "*" in body or "?" in body:
+            return Clause(kind="field_wildcard", field_name=fname,
+                          text=body, boost=boost), pos
+        return Clause(kind="field_term", field_name=fname, text=body,
+                      boost=boost), pos
+    if "*" in body or "?" in body:
+        return Clause(kind="wildcard", text=body.lower(), boost=boost), pos
+    return Clause(kind="term", text=body, boost=boost), pos
+
+
+def _check_field(fname: str, allow_id: bool = False) -> None:
+    ok = METADATA_FIELDS + ((ID_FIELD,) if allow_id else ()) + (TEXT_FIELD,)
+    if fname not in ok:
+        raise UnsupportedQuerySyntax(
+            f"unknown field {fname!r} (stored fields: "
+            f"{', '.join(METADATA_FIELDS)}, {TEXT_FIELD})"
+        )
 
 
 # ------------------------------------------------------------ executor ----
+
+
+def _field_docs(reader, cl: Clause) -> DataFrame:
+    """doc_id domain of a metadata clause — a pushed-down filter on the docs
+    table (parquet scan prunes to the filter + doc_id projection)."""
+    docs = reader.docs
+    if cl.kind == "field_term":
+        return docs.filter(F.col(cl.field_name) == cl.text).select("doc_id")
+    if cl.kind == "field_wildcard":
+        like = (cl.text.replace("%", r"\%").replace("_", r"\_")
+                .replace("*", "%").replace("?", "_"))
+        return docs.filter(F.col(cl.field_name).like(like)).select("doc_id")
+    if cl.kind == "range":
+        col = F.col(cl.field_name)
+        if cl.field_name == ID_FIELD:
+            conv = lambda v: F.lit(int(v))  # noqa: E731
+        else:
+            conv = F.lit
+        cond = F.lit(True)
+        if cl.lo != "*":
+            cond = cond & (col >= conv(cl.lo) if cl.incl_lo else col > conv(cl.lo))
+        if cl.hi != "*":
+            cond = cond & (col <= conv(cl.hi) if cl.incl_hi else col < conv(cl.hi))
+        return docs.filter(cond).select("doc_id")
+    raise AssertionError(cl.kind)  # pragma: no cover
 
 
 def _clause_scored(reader, cl: Clause) -> DataFrame | None:
@@ -195,6 +339,20 @@ def _clause_scored(reader, cl: Clause) -> DataFrame | None:
         df = multi_term_docs(
             reader, expand_fuzzy(reader, cl.text, cl.max_edits, max_expansions=1024)
         )
+    elif cl.kind == "field_term":
+        dom = _field_docs(reader, cl)
+        # Lucene BM25 on a single-token keyword field: tf=1, |d|=avgdl=1
+        # ⇒ idf(df_value)/(1+k1), a per-value constant
+        df_v = dom.count()
+        if df_v == 0:
+            return None
+        score = reader.idf(df_v) / (1.0 + K1)
+        df = dom.select("doc_id", F.lit(float(score)).alias("score"))
+    elif cl.kind in ("field_wildcard", "range"):
+        # Lucene rewrites multi-term/range queries to constant score 1.0
+        df = _field_docs(reader, cl).select(
+            "doc_id", F.lit(1.0).alias("score")
+        )
     else:  # pragma: no cover
         raise AssertionError(cl.kind)
     if cl.boost != 1.0:
@@ -202,53 +360,29 @@ def _clause_scored(reader, cl: Clause) -> DataFrame | None:
     return df
 
 
-def execute_boolean(reader, q: str, k: int = 10) -> DataFrame:
-    """Parse ``q`` and run it → DataFrame(doc_id, score) top-k."""
-    clauses = parse_query(q)
-    spark = reader.spark
-    empty = spark.createDataFrame([], TOPK_DDL)
-    musts = [c for c in clauses if c.occur == MUST]
-    shoulds = [c for c in clauses if c.occur == SHOULD]
-    nots = [c for c in clauses if c.occur == MUST_NOT]
-    if not musts and not shoulds:
-        return empty  # Lucene: no positive clause → no hits
-
-    contribs: list[DataFrame] = []
-    must_domains: list[DataFrame] = []
-    for c in musts:
-        df = _clause_scored(reader, c)
-        if df is None:
-            return empty  # a MUST clause that can't match → empty result
-        contribs.append(df)
-        must_domains.append(df.select("doc_id"))
-    for c in shoulds:
-        df = _clause_scored(reader, c)
-        if df is not None:
-            contribs.append(df)
-    if not contribs:
-        return empty
-
-    scored = contribs[0]
-    for df in contribs[1:]:
-        scored = scored.unionByName(df)
-    scored = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
-    # domain: every MUST present. With no MUST, the union already contains
-    # only docs where ≥1 SHOULD matched.
-    for dom in must_domains:
-        scored = scored.join(dom, "doc_id", "leftsemi")
-    for c in nots:
-        nd = _clause_matches(reader, c)
-        if nd is not None:
-            scored = scored.join(nd, "doc_id", "left_anti")
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+def _node_scored(reader, node) -> DataFrame | None:
+    if isinstance(node, Clause):
+        return _clause_scored(reader, node)
+    inner = _exec_nodes(reader, node.children)
+    if inner is None:
+        return None
+    if node.boost != 1.0:
+        inner = inner.select(
+            "doc_id", (F.col("score") * F.lit(node.boost)).alias("score")
+        )
+    return inner
 
 
-def _clause_matches(reader, cl: Clause) -> DataFrame | None:
-    """doc_id set a clause matches (for MUST_NOT exclusion).
+def _node_matches(reader, node) -> DataFrame | None:
+    """doc_id set a node matches (for MUST_NOT exclusion).
 
     Terms under MUST_NOT use OR-of-terms semantics within the clause (the
     analyzer can split one input word into several tokens; Lucene's
     ``-camelCase`` excludes docs matching the sub-query it parses to)."""
+    if isinstance(node, Group):
+        inner = _exec_nodes(reader, node.children)
+        return None if inner is None else inner.select("doc_id")
+    cl = node
     if cl.kind == "term":
         terms = sorted(set(analyze(cl.text)))
         if not terms:
@@ -269,11 +403,60 @@ def _clause_matches(reader, cl: Clause) -> DataFrame | None:
         return multi_term_docs(
             reader, expand_fuzzy(reader, cl.text, cl.max_edits, max_expansions=1024)
         ).select("doc_id")
-    raise AssertionError(cl.kind)  # pragma: no cover
+    return _field_docs(reader, cl)
+
+
+def _exec_nodes(reader, nodes: list) -> DataFrame | None:
+    """BooleanQuery algebra over one nesting level → (doc_id, score) of ALL
+    matching docs, or None when the level can match nothing."""
+    musts = [n for n in nodes if n.occur == MUST]
+    shoulds = [n for n in nodes if n.occur == SHOULD]
+    nots = [n for n in nodes if n.occur == MUST_NOT]
+    if not musts and not shoulds:
+        return None  # Lucene: no positive clause → no hits
+
+    contribs: list[DataFrame] = []
+    must_domains: list[DataFrame] = []
+    for n in musts:
+        df = _node_scored(reader, n)
+        if df is None:
+            return None  # a MUST node that can't match → empty result
+        contribs.append(df)
+        must_domains.append(df.select("doc_id"))
+    for n in shoulds:
+        df = _node_scored(reader, n)
+        if df is not None:
+            contribs.append(df)
+    if not contribs:
+        return None
+
+    scored = contribs[0]
+    for df in contribs[1:]:
+        scored = scored.unionByName(df)
+    scored = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    # domain: every MUST present. With no MUST, the union already contains
+    # only docs where ≥1 SHOULD matched.
+    for dom in must_domains:
+        scored = scored.join(dom, "doc_id", "leftsemi")
+    for n in nots:
+        nd = _node_matches(reader, n)
+        if nd is not None:
+            scored = scored.join(nd, "doc_id", "left_anti")
+    return scored
+
+
+def execute_boolean(reader, q: str, k: int = 10) -> DataFrame:
+    """Parse ``q`` and run it → DataFrame(doc_id, score) top-k."""
+    nodes = parse_query(q)
+    scored = _exec_nodes(reader, nodes)
+    if scored is None:
+        return reader.spark.createDataFrame([], TOPK_DDL)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 __all__ = [
     "Clause",
+    "Group",
     "MUST",
     "MUST_NOT",
     "SHOULD",

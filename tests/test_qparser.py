@@ -15,10 +15,12 @@ from solrutils_spark.index.builder import build_index
 from solrutils_spark.oracle.reference_bm25 import OracleIndex
 from solrutils_spark.query.boolean import _levenshtein_banded
 from solrutils_spark.query.engine import IndexReader
+from solrutils_spark.functions.analyzer import K1
 from solrutils_spark.query.qparser import (
     MUST,
     MUST_NOT,
     SHOULD,
+    Group,
     UnsupportedQuerySyntax,
     execute_boolean,
     parse_query,
@@ -42,6 +44,14 @@ def reader(spark, index_dir):
 def oracle(spark, reader):
     rows = reader.docs.select("doc_id", "content").collect()
     return OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def meta(reader):
+    rows = reader.docs.select("doc_id", "repo", "path", "commit", "lang").collect()
+    return {r["doc_id"]: {"repo": r["repo"], "path": r["path"],
+                          "commit": r["commit"], "lang": r["lang"]}
+            for r in rows}
 
 
 # ----------------------------------------------------------- parsing ----
@@ -84,21 +94,94 @@ def test_parse_phrase_wildcard_fuzzy_boost():
 
 
 def test_parse_unsupported_is_loud():
-    for bad in ["(a AND b)", "title:foo", "[1 TO 5]", '"a b"~3', "a AND"]:
+    for bad in ["title:foo", "[1 TO 5]", '"a b"~3', "a AND", "(a AND b",
+                "a) b", "lang:(a b)", "lang:fuzz~1", 'lang:"a b"',
+                "content:[a TO b]", "()"]:
         with pytest.raises(UnsupportedQuerySyntax):
             parse_query(bad)
+
+
+def test_parse_groups():
+    nodes = parse_query("(posting OR segment) AND wand")
+    assert isinstance(nodes[0], Group) and nodes[0].occur == MUST
+    assert [c.text for c in nodes[0].children] == ["posting", "segment"]
+    assert [c.occur for c in nodes[0].children] == [SHOULD, SHOULD]
+    assert nodes[1].text == "wand" and nodes[1].occur == MUST
+
+    nodes = parse_query('-(a b)^2 +c')
+    assert nodes[0].occur == MUST_NOT and nodes[0].boost == 2.0
+    assert nodes[1].occur == MUST
+
+    nested = parse_query("((a b) AND c) d")
+    assert isinstance(nested[0], Group)
+    assert isinstance(nested[0].children[0], Group)
+    assert nested[0].children[0].occur == MUST
+    assert nested[0].children[1].occur == MUST
+
+
+def test_parse_field_clauses():
+    nodes = parse_query("lang:java path:src* commit:[a TO f] doc_id:{5 TO 10]")
+    assert [(n.kind, n.field_name) for n in nodes] == [
+        ("field_term", "lang"), ("field_wildcard", "path"),
+        ("range", "commit"), ("range", "doc_id")]
+    assert nodes[2].lo == "a" and nodes[2].hi == "f"
+    assert nodes[2].incl_lo and nodes[2].incl_hi
+    assert not nodes[3].incl_lo and nodes[3].incl_hi
+    # content: is the plain text field
+    nodes = parse_query('content:posting content:"posting segment" content:po*')
+    assert [n.kind for n in nodes] == ["term", "phrase", "wildcard"]
+
+
+def test_parse_open_range_and_boost():
+    nodes = parse_query("lang:[* TO java]^3")
+    assert nodes[0].lo == "*" and nodes[0].hi == "java"
+    assert nodes[0].boost == 3.0
 
 
 # --------------------------------------------------------- execution ----
 
 
-def _oracle_boolean(oracle: OracleIndex, q: str, k: int):
-    """Independent clause-by-clause evaluation on the Python oracle."""
-    clauses = parse_query(q)
+def _oracle_boolean(oracle: OracleIndex, q: str, k: int, meta=None):
+    """Independent clause-by-clause evaluation on the Python oracle.
+    ``meta``: doc_id → {repo, path, commit, lang} for field clauses."""
+    import math
 
-    def clause_scores(c) -> dict[int, float]:
+    def idf(df):
+        return math.log(1.0 + (oracle.n_docs - df + 0.5) / (df + 0.5))
+
+    def field_docs(c) -> set[int]:
+        if c.kind == "field_term":
+            return {d for d, m in meta.items() if m[c.field_name] == c.text}
+        if c.kind == "field_wildcard":
+            return {d for d, m in meta.items()
+                    if fnmatch.fnmatchcase(m[c.field_name], c.text)}
+        if c.kind == "range":
+            def val(d, m):
+                return d if c.field_name == "doc_id" else m[c.field_name]
+            lo = int(c.lo) if c.field_name == "doc_id" and c.lo != "*" else c.lo
+            hi = int(c.hi) if c.field_name == "doc_id" and c.hi != "*" else c.hi
+            out = set()
+            for d, m in meta.items():
+                v = val(d, m)
+                if c.lo != "*" and not (v >= lo if c.incl_lo else v > lo):
+                    continue
+                if c.hi != "*" and not (v <= hi if c.incl_hi else v < hi):
+                    continue
+                out.add(d)
+            return out
+        raise AssertionError(c.kind)
+
+    def node_scores(node) -> dict[int, float] | None:
+        if isinstance(node, Group):
+            inner = exec_nodes(node.children)
+            if inner is None:
+                return None
+            return {d: s * node.boost for d, s in inner.items()}
+        c = node
         if c.kind == "term":
             terms = sorted(set(analyze(c.text)))
+            if not terms:
+                return None
             out: dict[int, float] = {}
             for t in terms:
                 for d, tf in oracle.postings.get(t, {}).items():
@@ -115,23 +198,48 @@ def _oracle_boolean(oracle: OracleIndex, q: str, k: int):
             terms = [t for t in oracle.postings
                      if _levenshtein_banded(c.text, t, c.max_edits) <= c.max_edits]
             return {d: 1.0 * c.boost for d in oracle.docs_with_any(terms)}
+        if c.kind == "field_term":
+            docs = field_docs(c)
+            if not docs:
+                return None
+            s = idf(len(docs)) / (1.0 + K1) * c.boost
+            return {d: s for d in docs}
+        if c.kind in ("field_wildcard", "range"):
+            return {d: 1.0 * c.boost for d in field_docs(c)}
         raise AssertionError(c.kind)
 
-    musts = [clause_scores(c) for c in clauses if c.occur == MUST]
-    shoulds = [clause_scores(c) for c in clauses if c.occur == SHOULD]
-    nots = [clause_scores(c) for c in clauses if c.occur == MUST_NOT]
-    if not musts and not shoulds:
+    def exec_nodes(nodes) -> dict[int, float] | None:
+        musts, shoulds, nots = [], [], []
+        for n in nodes:
+            cs = node_scores(n)
+            if n.occur == MUST:
+                if cs is None:
+                    return None
+                musts.append(cs)
+            elif n.occur == SHOULD:
+                if cs is not None:
+                    shoulds.append(cs)
+            else:
+                if cs is not None:
+                    nots.append(cs)
+        has_positive = any(n.occur in (MUST, SHOULD) for n in nodes)
+        if not has_positive or (not musts and not shoulds):
+            return None
+        scores: dict[int, float] = {}
+        for cs in musts + shoulds:
+            for d, s in cs.items():
+                scores[d] = scores.get(d, 0.0) + s
+        domain = set(scores)
+        for cs in musts:
+            domain &= set(cs)
+        for cs in nots:
+            domain -= set(cs)
+        return {d: scores[d] for d in domain}
+
+    final = exec_nodes(parse_query(q))
+    if final is None:
         return []
-    scores: dict[int, float] = {}
-    for cs in musts + shoulds:
-        for d, s in cs.items():
-            scores[d] = scores.get(d, 0.0) + s
-    domain = set(scores)
-    for cs in musts:
-        domain &= set(cs)
-    for cs in nots:
-        domain -= set(cs)
-    ranked = sorted(((d, scores[d]) for d in domain), key=lambda x: (-x[1], x[0]))
+    ranked = sorted(final.items(), key=lambda x: (-x[1], x[0]))
     return ranked[:k]
 
 
@@ -148,14 +256,33 @@ BOOL_QUERIES = [
     "NOT posting segment",
     "-posting",
     "zzzabsent OR posting",
+    # groups
+    "(posting OR segment) AND wand",
+    "(posting segment) -lucene",
+    "posting OR (segment AND wand)",
+    "((posting wand) AND segment) lucene",
+    "-(posting segment) vbyte",
+    "(posting OR segment)^2 vbyte",
+    # field / range clauses on stored metadata
+    "lang:py AND posting",
+    "lang:java OR lang:go",
+    "+posting -lang:py",
+    "path:src/pkg3* AND posting",
+    "doc_id:[10 TO 40] posting",
+    "doc_id:{10 TO 40} AND posting",
+    "lang:[go TO js] posting",
+    "doc_id:[250 TO *] posting",
+    "(lang:py OR lang:go) AND (posting OR segment)",
+    "content:posting lang:rs",
+    "lang:zzznope posting",
 ]
 
 
 @pytest.mark.parametrize("q", BOOL_QUERIES)
-def test_boolean_matches_oracle(reader, oracle, q):
+def test_boolean_matches_oracle(reader, oracle, meta, q):
     got = [(r["doc_id"], r["score"])
            for r in execute_boolean(reader, q, 10).collect()]
-    want = _oracle_boolean(oracle, q, 10)
+    want = _oracle_boolean(oracle, q, 10, meta)
     assert [d for d, _ in got] == [d for d, _ in want], q
     assert np.allclose([s for _, s in got], [s for _, s in want], atol=1e-9), q
 
