@@ -76,9 +76,13 @@ class OracleIndex:
         }
         return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
 
-    def search_phrase(self, phrase_text: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exhaustive exact-phrase top-k, Lucene PhraseQuery scoring:
-        tf = phrase frequency, idf = Σ idf(term) over unique terms."""
+    def search_phrase(self, phrase_text: str, k: int = 10,
+                      slop: int = 0) -> list[tuple[int, float]]:
+        """Exhaustive phrase top-k, Lucene PhraseQuery scoring:
+        tf = phrase frequency (exact adjacency at slop=0; the minimal-window
+        sloppy frequency at slop>0 — heap-based sweep, independent of the
+        engine's pointer-loop implementation of the same defined semantics),
+        idf = Σ idf(term) over unique terms."""
         seq = analyze(phrase_text)
         if not seq:
             return []
@@ -89,16 +93,47 @@ class OracleIndex:
         m = len(seq)
         scores: dict[int, float] = {}
         for doc_id, toks in self.tokens.items():
-            pf = sum(
-                1
-                for i in range(len(toks) - m + 1)
-                if toks[i : i + m] == seq
-            )
+            if slop == 0:
+                pf: float = sum(
+                    1
+                    for i in range(len(toks) - m + 1)
+                    if toks[i : i + m] == seq
+                )
+            else:
+                pf = self._sloppy_pf(toks, seq, slop)
             if pf:
                 dl = self.doc_len[doc_id]
                 norm = K1 * (1.0 - B + B * dl / self.avgdl) if self.avgdl else K1
                 scores[doc_id] = idf_sum * pf / (pf + norm)
         return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    @staticmethod
+    def _sloppy_pf(toks: list[str], seq: list[str], slop: int) -> float:
+        """Minimal-window sloppy frequency via a heap sweep: one adjusted
+        position (p - phrase_offset) per phrase term per window; a window
+        whose span ≤ slop contributes 1/(1+span); the minimum always
+        advances (ties: lowest phrase offset)."""
+        import heapq
+
+        lists = []
+        for i, t in enumerate(seq):
+            li = [p - i for p, tok in enumerate(toks) if tok == t]
+            if not li:
+                return 0.0
+            lists.append(li)
+        heap = [(lists[i][0], i, 0) for i in range(len(seq))]
+        heapq.heapify(heap)
+        mx = max(v for v, _, _ in heap)
+        freq = 0.0
+        while True:
+            mn, i, idx = heap[0]
+            if mx - mn <= slop:
+                freq += 1.0 / (1.0 + (mx - mn))
+            if idx + 1 >= len(lists[i]):
+                return freq
+            nxt = lists[i][idx + 1]
+            heapq.heapreplace(heap, (nxt, i, idx + 1))
+            mx = max(mx, nxt)
 
     def expand_wildcard(self, pattern: str) -> list[str]:
         import fnmatch

@@ -421,6 +421,10 @@ def scored_matches(reader, terms: list[str]) -> DataFrame:
 # --------------------------------------------------------------- phrase ----
 
 
+class UnsupportedQueryFeature(ValueError):
+    """Query combines features outside the supported semantics (loud gate)."""
+
+
 def _phrase_freq(toks: list[str], seq: list[str]) -> int:
     m = len(seq)
     if m == 0 or len(toks) < m:
@@ -433,27 +437,74 @@ def _phrase_freq(toks: list[str], seq: list[str]) -> int:
     return n
 
 
-def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
-    """Exact-phrase BM25 top-k → DataFrame(doc_id, score).
+def _sloppy_freq(toks: list[str], seq: list[str], slop: int) -> float:
+    """Sloppy-phrase frequency: minimal-window sweep over phrase-offset-
+    adjusted positions (Lucene PhraseQuery slop semantics: ``slop`` is the
+    total number of position moves allowed, a transposition costs 2, and
+    each match contributes ``sloppyFreq = 1/(1 + matchLength)`` where
+    matchLength is the adjusted-position span of the match window).
 
-    Lucene PhraseQuery scoring: tf = number of phrase occurrences,
-    idf = Σ idf(term) over the phrase's UNIQUE terms, BM25 tf-normalization
-    with the doc's |d| — reproduced here with the candidate-verify plan
-    described in the module docstring. Single-token phrases degrade to the
-    plain ranked query (Lucene parses ``"foo"`` to a TermQuery)."""
+    The sweep: each phrase term i contributes its adjusted position list
+    ``{p - i}``; pointers advance past the current minimum — when the
+    current window's span is ≤ slop it is a match and the minimum advances
+    (Lucene's advance-min repositioning), otherwise the minimum advances to
+    seek a tighter window. Phrases with REPEATED terms under slop > 0 are
+    loudly gated (two phrase slots could claim one token position; Lucene
+    runs a special repeats resolution we don't reproduce) — exact phrases
+    (slop=0) handle repeats via direct window comparison."""
+    m = len(seq)
+    if m == 0 or len(toks) < m:
+        return 0.0
+    lists: list[list[int]] = []
+    for i, t in enumerate(seq):
+        li = [p - i for p, tok in enumerate(toks) if tok == t]
+        if not li:
+            return 0.0
+        lists.append(li)
+    cur = [0] * m
+    freq = 0.0
+    while True:
+        vals = [lists[i][cur[i]] for i in range(m)]
+        mn = min(vals)
+        mx = max(vals)
+        mn_i = vals.index(mn)
+        if mx - mn <= slop:
+            freq += 1.0 / (1.0 + (mx - mn))
+        cur[mn_i] += 1
+        if cur[mn_i] >= len(lists[mn_i]):
+            return freq
+
+
+def phrase_search(reader, phrase_text: str, k: int = 10,
+                  slop: int = 0) -> DataFrame:
+    """Phrase BM25 top-k → DataFrame(doc_id, score).
+
+    Lucene PhraseQuery scoring: tf = phrase frequency (exact-adjacency
+    count at slop=0; the minimal-window sloppy frequency of
+    :func:`_sloppy_freq` under slop>0), idf = Σ idf(term) over the phrase's
+    UNIQUE terms, BM25 tf-normalization with the doc's |d| — reproduced
+    here with the candidate-verify plan described in the module docstring.
+    Single-token phrases degrade to the plain ranked query (Lucene parses
+    ``"foo"`` to a TermQuery)."""
     seq = analyze(phrase_text)
     if len(seq) == 1:
         return reader.search(phrase_text, k)
-    scored = phrase_scored(reader, phrase_text)
+    scored = phrase_scored(reader, phrase_text, slop=slop)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def phrase_scored(reader, phrase_text: str) -> DataFrame:
-    """ALL (doc_id, score) pairs matching the exact phrase (un-limited —
-    the boolean executor needs every contribution, not a top-k cut)."""
+def phrase_scored(reader, phrase_text: str, slop: int = 0) -> DataFrame:
+    """ALL (doc_id, score) pairs matching the phrase (un-limited — the
+    boolean executor needs every contribution, not a top-k cut). The
+    candidate domain is the unordered term conjunction regardless of slop;
+    the verify pass applies exact adjacency (slop=0) or the sloppy sweep."""
     seq = analyze(phrase_text)
     if not seq:
         return reader.spark.createDataFrame([], TOPK_DDL)
+    if slop and len(set(seq)) < len(seq):
+        raise UnsupportedQueryFeature(
+            f"sloppy phrase with repeated terms: {phrase_text!r}~{slop}"
+        )
     uniq = sorted(set(seq))
     live, idf_by_term = _live_terms(reader, uniq)
     if len(live) < len(uniq):
@@ -475,7 +526,8 @@ def phrase_scored(reader, phrase_text: str) -> DataFrame:
             toks_series = analyze_series(pdf["content"])
             ids, scores = [], []
             for doc_id, toks in zip(pdf["doc_id"].tolist(), toks_series.tolist()):
-                pf = _phrase_freq(toks, seq)
+                pf = (_phrase_freq(toks, seq) if slop == 0
+                      else _sloppy_freq(toks, seq, slop))
                 if pf:
                     dl = len(toks)
                     norm = K1 * (1.0 - B + B * dl / avgdl) if avgdl else K1

@@ -322,11 +322,13 @@ class IndexReader:
         return search_conj(self, query_text, k, offset=offset,
                            filter_df=filter_df)
 
-    def phrase_search(self, phrase_text: str, k: int = 10) -> DataFrame:
-        """Exact-phrase query (candidate-verify) — see query/boolean.py."""
+    def phrase_search(self, phrase_text: str, k: int = 10,
+                      slop: int = 0) -> DataFrame:
+        """Phrase query, exact or sloppy (candidate-verify) — see
+        query/boolean.py."""
         from solrutils_spark.query.boolean import phrase_search
 
-        return phrase_search(self, phrase_text, k)
+        return phrase_search(self, phrase_text, k, slop=slop)
 
     def prefix_search(self, pattern: str, k: int = 10,
                       max_expansions: int = 1024) -> DataFrame:

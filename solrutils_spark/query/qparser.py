@@ -40,11 +40,14 @@ precedence corners):
   ``content:value`` is the plain text-field clause;
 - a MUST_NOT-only query matches nothing (Lucene: no positive clause).
 
-Unsupported constructs fail LOUDLY (``UnsupportedQuerySyntax``): proximity
-phrases ``"a b"~N`` (the index is positionless — phrase matching is
-candidate re-analysis, exact-adjacency only), ``field:(...)`` grouping,
-fuzzy on metadata fields, and unknown field names — the same honest-gate
-contract as sources/minixslt.py.
+Proximity phrases ``"a b"~N`` run the minimal-window sloppy sweep over the
+candidate-verify re-analysis (Lucene slop semantics: moves budget, a
+transposition costs 2, sloppyFreq = 1/(1+matchLength); see
+``boolean._sloppy_freq``); sloppy phrases with REPEATED terms are loudly
+gated. Other unsupported constructs fail LOUDLY
+(``UnsupportedQuerySyntax``): ``field:(...)`` grouping, fuzzy on metadata
+fields, and unknown field names — the same honest-gate contract as
+sources/minixslt.py.
 
 Execution is pure DataFrame algebra over per-clause retrievals — each text
 clause is an indexed posting read (bounded by its df), each metadata clause
@@ -93,6 +96,7 @@ class Clause:
     occur: str = SHOULD
     boost: float = 1.0
     max_edits: int = 2  # Lucene: bare ~ means edit distance 2
+    slop: int = 0  # phrase clauses: "a b"~N
     field_name: str = ""
     lo: str = ""
     hi: str = ""
@@ -212,16 +216,13 @@ def _parse_nodes(q: str, pos: int, depth: int) -> tuple[list, int]:
 def _parse_atom(q: str, pos: int, fname: str) -> tuple[Clause, int]:
     qm = _QUOTED_RE.match(q, pos)
     if qm:
-        if qm.group(2):
-            raise UnsupportedQuerySyntax(
-                f"proximity phrases not supported: {qm.group(0)!r}"
-            )
         if fname and fname != TEXT_FIELD:
             raise UnsupportedQuerySyntax(
                 f"phrase on non-text field: {fname}:{qm.group(0)!r}"
             )
         pos = qm.end()
-        cl = Clause(kind="phrase", text=qm.group(1))
+        slop = int(qm.group(2)[1:]) if qm.group(2) else 0
+        cl = Clause(kind="phrase", text=qm.group(1), slop=slop)
         bm = _BOOST_RE.match(q, pos)
         if bm:
             cl.boost = float(bm.group(1))
@@ -332,7 +333,7 @@ def _clause_scored(reader, cl: Clause) -> DataFrame | None:
         if len(seq) == 1:
             df = scored_matches(reader, seq)
         else:
-            df = phrase_scored(reader, cl.text)
+            df = phrase_scored(reader, cl.text, slop=cl.slop)
     elif cl.kind == "wildcard":
         df = multi_term_docs(reader, expand_wildcard(reader, cl.text))
     elif cl.kind == "fuzzy":
@@ -394,7 +395,7 @@ def _node_matches(reader, node) -> DataFrame | None:
             return None
         if len(seq) == 1:
             return scored_matches(reader, seq).select("doc_id")
-        return phrase_scored(reader, cl.text).select("doc_id")
+        return phrase_scored(reader, cl.text, slop=cl.slop).select("doc_id")
     if cl.kind == "wildcard":
         return multi_term_docs(reader, expand_wildcard(reader, cl.text)).select(
             "doc_id"

@@ -224,6 +224,75 @@ def test_phrase_with_absent_term_is_empty(reader):
     assert reader.phrase_search("posting zzzneverseen", 5).count() == 0
 
 
+def test_sloppy_freq_semantics():
+    from solrutils_spark.query.boolean import _sloppy_freq
+
+    toks = "aa bb cc dd".split()
+    # exact adjacency: span 0 → freq 1
+    assert _sloppy_freq(toks, ["aa", "bb"], 0) == 1.0
+    # one gap: "aa ? cc" needs 1 move
+    assert _sloppy_freq(toks, ["aa", "cc"], 0) == 0.0
+    assert _sloppy_freq(toks, ["aa", "cc"], 1) == 0.5  # 1/(1+1)
+    # transposition costs 2 (Lucene's documented rule)
+    assert _sloppy_freq(toks, ["bb", "aa"], 1) == 0.0
+    assert _sloppy_freq(toks, ["bb", "aa"], 2) == pytest.approx(1.0 / 3.0)
+    # multiple windows accumulate
+    toks2 = "aa bb xx aa bb".split()
+    assert _sloppy_freq(toks2, ["aa", "bb"], 0) == 2.0
+    # absent term → 0
+    assert _sloppy_freq(toks, ["aa", "zz"], 5) == 0.0
+
+
+def test_sloppy_phrase_matches_oracle(reader, oracle):
+    # adjacent AND non-adjacent co-occurring pairs from real docs (positions
+    # taken on the UNFILTERED analyzed token list, so the slop needed in
+    # that doc is known: one-apart → ≥1, transposed-adjacent → ≥2)
+    pairs = set()
+    for doc_id in sorted(oracle.tokens)[:20]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) >= 4 and len(set(toks[:4])) == 4:
+            pairs.add((toks[0], toks[2]))
+            pairs.add((toks[1], toks[0]))
+        if len(pairs) >= 6:
+            break
+    assert pairs
+    # at least one pair must actually match somewhere at slop 4
+    any_hits = 0
+    for w0, w1 in sorted(pairs):
+        for slop in (1, 2, 4):
+            phrase = f"{w0} {w1}"
+            got = [(r["doc_id"], r["score"])
+                   for r in reader.phrase_search(phrase, 10, slop=slop).collect()]
+            want = oracle.search_phrase(phrase, 10, slop=slop)
+            assert [d for d, _ in got] == [d for d, _ in want], (phrase, slop)
+            assert np.allclose([s for _, s in got], [s for _, s in want],
+                               atol=1e-9), (phrase, slop)
+            any_hits += len(got)
+    assert any_hits > 0  # parity over empty sets would prove nothing
+
+
+def test_sloppy_subsumes_exact(reader, oracle):
+    # slop=0 through the sloppy argument must equal the exact path
+    phrases = []
+    for doc_id in sorted(oracle.tokens)[:5]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) >= 2 and toks[0] != toks[1]:
+            phrases.append(f"{toks[0]} {toks[1]}")
+    for p in phrases:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in reader.phrase_search(p, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in reader.phrase_search(p, 10, slop=0).collect()]
+        assert a == b
+
+
+def test_sloppy_repeated_terms_gate(reader):
+    from solrutils_spark.query.boolean import UnsupportedQueryFeature
+
+    with pytest.raises(UnsupportedQueryFeature):
+        reader.phrase_search("posting posting", 10, slop=2).count()
+
+
 # -------------------------------------------- prefix / wildcard / fuzzy ----
 
 

@@ -94,7 +94,7 @@ def test_parse_phrase_wildcard_fuzzy_boost():
 
 
 def test_parse_unsupported_is_loud():
-    for bad in ["title:foo", "[1 TO 5]", '"a b"~3', "a AND", "(a AND b",
+    for bad in ["title:foo", "[1 TO 5]", "a AND", "(a AND b",
                 "a) b", "lang:(a b)", "lang:fuzz~1", 'lang:"a b"',
                 "content:[a TO b]", "()"]:
         with pytest.raises(UnsupportedQuerySyntax):
@@ -130,6 +130,12 @@ def test_parse_field_clauses():
     # content: is the plain text field
     nodes = parse_query('content:posting content:"posting segment" content:po*')
     assert [n.kind for n in nodes] == ["term", "phrase", "wildcard"]
+
+
+def test_parse_proximity_phrase():
+    nodes = parse_query('"posting segment"~2 "exact phrase"')
+    assert nodes[0].kind == "phrase" and nodes[0].slop == 2
+    assert nodes[1].kind == "phrase" and nodes[1].slop == 0
 
 
 def test_parse_open_range_and_boost():
@@ -189,7 +195,8 @@ def _oracle_boolean(oracle: OracleIndex, q: str, k: int, meta=None):
             return {d: s * c.boost for d, s in out.items()}
         if c.kind == "phrase":
             return {d: s * c.boost
-                    for d, s in oracle.search_phrase(c.text, oracle.n_docs)}
+                    for d, s in oracle.search_phrase(c.text, oracle.n_docs,
+                                                     slop=c.slop)}
         if c.kind == "wildcard":
             terms = [t for t in oracle.postings
                      if fnmatch.fnmatchcase(t, c.text)]
@@ -275,6 +282,10 @@ BOOL_QUERIES = [
     "(lang:py OR lang:go) AND (posting OR segment)",
     "content:posting lang:rs",
     "lang:zzznope posting",
+    # proximity phrases
+    '"posting segment"~2',
+    '"segment posting"~2 OR vbyte',
+    '+"posting lucene"~4 -wand',
 ]
 
 
