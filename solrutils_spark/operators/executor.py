@@ -106,11 +106,45 @@ class PlanExecutor:
             filter_df = (
                 self._cached_filter_ids(plan) if plan.get_params("fq") else None
             )
-            topk = self.reader.search(q, rows, offset=start, filter_df=filter_df)
-            hits = self.reader.fetch(topk, self._fl(plan))
-            facet_domain = (
-                self._scored_domain(domain, q) if need_facets else None
-            )
+            from solrutils_spark.query.qparser import is_lucene_syntax
+
+            if is_lucene_syntax(q):
+                # the reference's templates can render Lucene operator
+                # syntax into q (Query.java:10-31); route through the
+                # boolean executor. Plain term queries stay on the ranked
+                # WAND path (identical BM25 contributions, faster engine).
+                from solrutils_spark.query.qparser import boolean_scored
+
+                bscored = boolean_scored(self.reader, q)
+                if bscored is None:
+                    bscored = self.reader.spark.createDataFrame(
+                        [], "doc_id long, score double"
+                    )
+                if filter_df is not None:
+                    bscored = bscored.join(
+                        filter_df.select(
+                            F.col(filter_df.columns[0]).cast("long")
+                            .alias(self.id_column)
+                        ),
+                        self.id_column, "leftsemi",
+                    )
+                ranked = bscored.orderBy(
+                    F.desc("score"), F.asc(self.id_column)
+                ).limit(rows + start)
+                topk = ranked.offset(start) if start else ranked
+                hits = self.reader.fetch(topk, self._fl(plan))
+                # the boolean match domain doubles as numFound AND the facet
+                # domain (persisted once below, reused by every action)
+                facet_domain = domain.join(
+                    bscored.select(self.id_column), self.id_column, "left_semi"
+                )
+            else:
+                topk = self.reader.search(q, rows, offset=start,
+                                          filter_df=filter_df)
+                hits = self.reader.fetch(topk, self._fl(plan))
+                facet_domain = (
+                    self._scored_domain(domain, q) if need_facets else None
+                )
         else:
             ordered = self._sorted(domain, plan)
             hits = ordered.offset(start).limit(rows) if start else ordered.limit(rows)

@@ -446,18 +446,54 @@ def _exec_nodes(reader, nodes: list) -> DataFrame | None:
     return scored
 
 
-def execute_boolean(reader, q: str, k: int = 10) -> DataFrame:
-    """Parse ``q`` and run it → DataFrame(doc_id, score) top-k."""
-    nodes = parse_query(q)
-    scored = _exec_nodes(reader, nodes)
+def boolean_scored(reader, q: str) -> DataFrame | None:
+    """Parse ``q`` and return ALL (doc_id, score) matches (un-limited), or
+    None when the query can match nothing — the building block the
+    PlanExecutor reuses for top-k, numFound and the facet domain."""
+    return _exec_nodes(reader, parse_query(q))
+
+
+def execute_boolean(reader, q: str, k: int = 10, *, offset: int = 0,
+                    filter_df: DataFrame | None = None) -> DataFrame:
+    """Parse ``q`` and run it → DataFrame(doc_id, score) top-k.
+
+    ``filter_df``: optional single-column DataFrame of allowed doc_ids (fq
+    semantics — restricts the domain BEFORE top-k, never scores)."""
+    scored = boolean_scored(reader, q)
     if scored is None:
         return reader.spark.createDataFrame([], TOPK_DDL)
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if filter_df is not None:
+        fcol = filter_df.columns[0]
+        scored = scored.join(
+            filter_df.select(F.col(fcol).cast("long").alias("doc_id")),
+            "doc_id", "leftsemi",
+        )
+    ranked = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k + offset)
+    return ranked.offset(offset) if offset else ranked
+
+
+#: does a raw ``q`` string use Lucene operator syntax (vs plain terms)?
+#: Solr's LuceneQParser parses EVERY q; our PlanExecutor routes q through
+#: the boolean executor only when it actually uses operators — a plain
+#: term query behaves identically on both paths (same BM25 contributions),
+#: and the ranked WAND path is the faster engine for it.
+_SYNTAX_RE = re.compile(
+    r'["()*?~^]'                      # phrase/group/wildcard/fuzzy/boost
+    r"|(?:^|\s)[+\-!]\S"           # occur prefixes at a token start
+    r"|(?:^|\s)(?:AND|OR|NOT|&&|\|\|)(?:\s|$)"  # connectors
+    r"|[A-Za-z_][A-Za-z0-9_.]*:"      # field-scoped clause
+)
+
+
+def is_lucene_syntax(q: str) -> bool:
+    return bool(_SYNTAX_RE.search(q))
 
 
 __all__ = [
     "Clause",
     "Group",
+    "boolean_scored",
+    "is_lucene_syntax",
     "MUST",
     "MUST_NOT",
     "SHOULD",

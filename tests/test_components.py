@@ -79,6 +79,45 @@ def test_search_with_filter_and_facets(engine):
     assert facets["py_docs"] == rsp["response"]["numFound"]
 
 
+def test_search_lifecycle_boolean_syntax(engine):
+    """A q string using Lucene operators routes through the boolean
+    executor: results equal execute_boolean, numFound = |match domain|."""
+    from solrutils_spark.query.qparser import execute_boolean
+
+    q = "+posting -segment"
+    rsp = engine.search(MODEL, {"query": q, "rows": 5.0})
+    docs = rsp["response"]["docs"]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in execute_boolean(engine.reader, q, 5).collect()]
+    assert [(d["doc_id"], round(d["score"], 9)) for d in docs] == want
+    # numFound is the boolean match domain, not the OR-of-terms domain
+    dom = execute_boolean(engine.reader, q, 10_000).count()
+    assert rsp["response"]["numFound"] == dom
+    or_dom = engine.reader.matching_docs("posting segment").count()
+    assert dom < or_dom  # MUST_NOT actually excluded
+
+
+def test_search_boolean_syntax_with_fq_and_facets(engine):
+    rsp = engine.search(
+        MODEL,
+        {"query": '+posting "posting segment"', "filter": {"lang": "py"},
+         "facet": ["lang"]},
+    )
+    assert all(d["lang"] == "py" for d in rsp["response"]["docs"])
+    buckets = rsp["facets"]["lang"]["buckets"]
+    assert buckets and buckets[0]["val"] == "py"
+    assert rsp["response"]["numFound"] == sum(b["count"] for b in buckets)
+
+
+def test_search_plain_q_stays_on_ranked_path(engine):
+    """No operators → identical to the WAND path (same engine as before)."""
+    rsp = engine.search(MODEL, {"query": "posting segment", "rows": 5.0})
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in engine.reader.search("posting segment", 5).collect()]
+    got = [(d["doc_id"], round(d["score"], 9)) for d in rsp["response"]["docs"]]
+    assert got == want
+
+
 def test_search_unscored_sort_paging(engine):
     model = SearchModel(
         {
