@@ -116,12 +116,21 @@ class Group:
 _WS_RE = re.compile(r"\s*")
 _CONNECTOR_RE = re.compile(r"(?:AND|OR|NOT|&&|\|\||!)(?=[\s(\"]|$)")
 _FIELD_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*):")
-_QUOTED_RE = re.compile(r'"([^"]*)"(~\d+)?')
+_QUOTED_RE = re.compile(r'"((?:\\.|[^"\\])*)"(~\d+)?')
 _RANGE_RE = re.compile(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])")
-_BARE_RE = re.compile(r'[^\s"()]+')
-_SUFFIX_RE = re.compile(r"^(?P<body>.*?)(?P<fuzzy>~(?P<edits>\d*))?"
-                        r"(?P<boost>\^(?P<bval>\d+(?:\.\d+)?))?$")
+# bare tokens: backslash-pairs ride along (C5 `escape` renders Lucene
+# metacharacters as \x — ClientUtils.escapeQueryChars, Conversion.java:220)
+_BARE_RE = re.compile(r'(?:\\.|[^\s"()\\])+')
+_SUFFIX_RE = re.compile(r"^(?P<body>.*?)(?P<fuzzy>(?<!\\)~(?P<edits>\d*))?"
+                        r"(?P<boost>(?<!\\)\^(?P<bval>\d+(?:\.\d+)?))?$")
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)")
+_UNESCAPED_WILD_RE = re.compile(r"(?<!\\)[*?]")
+_UNESCAPED_COLON_RE = re.compile(r"(?<!\\):")
+_UNESCAPE_RE = re.compile(r"\\(.)")
+
+
+def _unescape(s: str) -> str:
+    return _UNESCAPE_RE.sub(r"\1", s)
 
 
 def parse_query(q: str) -> list:
@@ -222,7 +231,7 @@ def _parse_atom(q: str, pos: int, fname: str) -> tuple[Clause, int]:
             )
         pos = qm.end()
         slop = int(qm.group(2)[1:]) if qm.group(2) else 0
-        cl = Clause(kind="phrase", text=qm.group(1), slop=slop)
+        cl = Clause(kind="phrase", text=_unescape(qm.group(1)), slop=slop)
         bm = _BOOST_RE.match(q, pos)
         if bm:
             cl.boost = float(bm.group(1))
@@ -256,29 +265,35 @@ def _parse_atom(q: str, pos: int, fname: str) -> tuple[Clause, int]:
     body = sm.group("body")
     if not body:
         raise UnsupportedQuerySyntax(f"cannot parse clause: {raw!r}")
-    if ":" in body:
+    if _UNESCAPED_COLON_RE.search(body):
         raise UnsupportedQuerySyntax(f"nested ':' in clause: {raw!r}")
     boost = float(sm.group("bval")) if sm.group("boost") else 1.0
+    wild = bool(_UNESCAPED_WILD_RE.search(body))
     if sm.group("fuzzy") is not None:
-        if "*" in body or "?" in body:
+        if wild:
             raise UnsupportedQuerySyntax(f"fuzzy wildcard: {raw!r}")
         if fname and fname != TEXT_FIELD:
             raise UnsupportedQuerySyntax(
                 f"fuzzy on non-text field: {fname}:{raw!r}"
             )
         edits = int(sm.group("edits")) if sm.group("edits") else 2
-        return Clause(kind="fuzzy", text=body.lower(), max_edits=edits,
-                      boost=boost), pos
+        return Clause(kind="fuzzy", text=_unescape(body).lower(),
+                      max_edits=edits, boost=boost), pos
     if fname and fname != TEXT_FIELD:
         _check_field(fname)
-        if "*" in body or "?" in body:
+        if wild:
+            # NB: after unescaping, a previously-escaped * / ? is
+            # indistinguishable from a live wildcard — irrelevant in
+            # practice because neither index terms nor the metadata
+            # columns can contain literal wildcard characters
             return Clause(kind="field_wildcard", field_name=fname,
-                          text=body, boost=boost), pos
-        return Clause(kind="field_term", field_name=fname, text=body,
+                          text=_unescape(body), boost=boost), pos
+        return Clause(kind="field_term", field_name=fname,
+                      text=_unescape(body), boost=boost), pos
+    if wild:
+        return Clause(kind="wildcard", text=_unescape(body).lower(),
                       boost=boost), pos
-    if "*" in body or "?" in body:
-        return Clause(kind="wildcard", text=body.lower(), boost=boost), pos
-    return Clause(kind="term", text=body, boost=boost), pos
+    return Clause(kind="term", text=_unescape(body), boost=boost), pos
 
 
 def _check_field(fname: str, allow_id: bool = False) -> None:

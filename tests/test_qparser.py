@@ -138,6 +138,25 @@ def test_parse_proximity_phrase():
     assert nodes[1].kind == "phrase" and nodes[1].slop == 0
 
 
+def test_parse_backslash_escapes():
+    """C5 `escape` (ClientUtils.escapeQueryChars twin) renders user input
+    with backslashes — escaped metacharacters must parse as literals."""
+    from solrutils_spark.functions.text import escape_query_chars
+
+    raw = '(posting) AND "weird" ~ +thing'
+    nodes = parse_query(escape_query_chars(raw))
+    assert len(nodes) == 1 and nodes[0].kind == "term"
+    assert nodes[0].text == raw  # whole escaped input = ONE literal term
+
+    nodes = parse_query('te\\*m \\(foo\\) \\"bar\\" path:a\\*b fu\\~zz')
+    assert [(n.kind, n.text) for n in nodes] == [
+        ("term", "te*m"), ("term", "(foo)"), ("term", '"bar"'),
+        ("field_term", "a*b"), ("term", "fu~zz")]
+    # escaped quote INSIDE a phrase stays in the phrase body
+    nodes = parse_query('"a \\" b"')
+    assert nodes[0].kind == "phrase" and nodes[0].text == 'a " b'
+
+
 def test_parse_open_range_and_boost():
     nodes = parse_query("lang:[* TO java]^3")
     assert nodes[0].lo == "*" and nodes[0].hi == "java"
