@@ -358,8 +358,17 @@ def _clause_scored(reader, cl: Clause) -> DataFrame | None:
     elif cl.kind == "field_term":
         dom = _field_docs(reader, cl)
         # Lucene BM25 on a single-token keyword field: tf=1, |d|=avgdl=1
-        # ⇒ idf(df_value)/(1+k1), a per-value constant
-        df_v = dom.count()
+        # ⇒ idf(df_value)/(1+k1), a per-value constant. The count is one
+        # pushed-down parquet scan; memoized per (field, value) on the
+        # reader (the docs table is immutable after build — same contract
+        # as the termdf sidecar cache).
+        cache = getattr(reader, "_field_df_cache", None)
+        if cache is None:
+            cache = reader._field_df_cache = {}
+        key = (cl.field_name, cl.text)
+        df_v = cache.get(key)
+        if df_v is None:
+            df_v = cache[key] = dom.count()
         if df_v == 0:
             return None
         score = reader.idf(df_v) / (1.0 + K1)
