@@ -49,7 +49,8 @@ route through one precedence-climbing evaluator, ``_XPathEval``)
     or and  = != < <= > >=  + - * div mod  unary -  union ``|``  ( )
     core functions: string number boolean not true false count sum concat
     contains starts-with substring substring-before substring-after
-    string-length normalize-space translate name local-name floor ceiling
+    string-length normalize-space translate name local-name namespace-uri
+    floor ceiling
     round position last
     node-set comparison semantics (existential, §3.4) and the §4.2
     number→string formatting (integers print without a decimal point)
@@ -63,6 +64,16 @@ supported select/match paths (relative to the context node)
     node-sets stay deduplicated in document order, XPath §3.3/§5; reverse
     axes present their spec proximity order to predicates first —
     ancestor::*[1] is the nearest ancestor)
+    namespaces (round 5): ``pfx:name`` / ``pfx:*`` / ``@pfx:attr`` name
+    tests in select paths AND match patterns, resolved via the
+    STYLESHEET's xmlns declarations (merged across include/import; a
+    prefix bound to two URIs raises). An UNPREFIXED name matches that
+    local name in ANY namespace — a documented deviation from XPath 1.0
+    (which matches only the null namespace): prefix-free Solr mapping
+    sheets keep working over default-namespaced sources. name() returns
+    a QName using a stylesheet-declared prefix when one exists for the
+    node's URI (ElementTree does not retain source-document prefixes);
+    the namespace:: axis itself stays gated.
     any step may carry predicates: a[2]  a[last()]  a[@id='x']  a[b='v']
     a[@attr]  a[position()&lt;3]  a[EXPR]  (chained ``[p][q]`` filters left
     to right; position() inside a predicate is the node's 1-based index in
@@ -293,7 +304,7 @@ _XP_TOK = re.compile(
     | (?P<dslash>//)
     | (?P<ddot>\.\.)
     | (?P<axis>[A-Za-z][\w\-]*::)
-    | (?P<name>[A-Za-z_][\w\-.]*)
+    | (?P<name>[A-Za-z_][\w\-.]*(?::(?:[A-Za-z_][\w\-.]*|\*))?)
     | (?P<op>!=|<=|>=|[()\[\],|=<>+\-*/@$.])
     )""",
     re.X,
@@ -307,6 +318,7 @@ class _XPathEval:
     * div mod, unary minus, union ``|``, parentheses, the core function
     library (string/number/boolean/count/concat/contains/starts-with/
     substring*/normalize-space/string-length/translate/name/local-name/
+    namespace-uri/
     sum/floor/ceiling/round/position/last/true/false/not), and
     LocationPaths. Paths (incl. ``key()`` and ``$var`` refs) delegate to
     :meth:`MiniXSLT._select` by source-slice, so path semantics (axes,
@@ -322,8 +334,8 @@ class _XPathEval:
         "position", "last", "count", "sum", "string", "number", "boolean",
         "not", "true", "false", "concat", "contains", "starts-with",
         "substring", "substring-before", "substring-after", "string-length",
-        "normalize-space", "translate", "name", "local-name", "floor",
-        "ceiling", "round",
+        "normalize-space", "translate", "name", "local-name",
+        "namespace-uri", "floor", "ceiling", "round",
     }
     _PATH_NODETESTS = ("text", "node")
 
@@ -530,14 +542,28 @@ class _XPathEval:
             if not isinstance(a[0], list):
                 raise UnsupportedXsltError("sum() needs a node-set")
             return float(sum(_xnum([n]) for n in a[0]))
-        if name in ("name", "local-name"):
+        if name in ("name", "local-name", "namespace-uri"):
             nodes = a[0] if a else [ctx.node]
             if not isinstance(nodes, list):
                 raise UnsupportedXsltError(f"{name}() needs a node-set")
             if not nodes:
                 return ""
             n = nodes[0]
-            return _strip_ns(n.tag) if isinstance(n, ET.Element) else ""
+            if not (isinstance(n, ET.Element) and isinstance(n.tag, str)):
+                return ""
+            uri = n.tag[1:].split("}", 1)[0] if n.tag.startswith("{") else ""
+            if name == "namespace-uri":
+                return uri
+            if name == "local-name" or not uri:
+                return _strip_ns(n.tag)
+            # name(): QName using a stylesheet-declared prefix for the URI
+            # (ET does not retain the source document's own prefixes); if
+            # the stylesheet declares none, fall back to the local name —
+            # documented, and better than inventing an ns0: prefix
+            for pfx, u in self.m.ns.items():
+                if u == uri:
+                    return f"{pfx}:{_strip_ns(n.tag)}"
+            return _strip_ns(n.tag)
         if name == "concat":
             return "".join(_xstr(x) for x in a)
         if name == "contains":
@@ -739,6 +765,12 @@ class MiniXSLT:
         # MERGE (XSLT 1.0 §7.1.4) with importing-sheet attributes winning,
         # so imported declarations are applied first and get overridden
         self.attr_sets: dict[str, list[tuple[bool, ET.Element]]] = {}
+        # prefix → namespace URI, merged across include/import (XPath 1.0
+        # resolves name-test prefixes against the STYLESHEET's in-scope
+        # declarations; one flat map + a loud conflict gate instead of
+        # scoped maps — conflicting redeclarations are vanishingly rare in
+        # mapping stylesheets and silent mis-resolution would be worse)
+        self.ns: dict[str, str] = {}
         self._resolver = resolver
         self._compile(xslt_source, imported=False, seen=set())
         for decls in self.attr_sets.values():
@@ -747,7 +779,22 @@ class MiniXSLT:
         self.templates.sort(key=lambda t: -len(t[0].split("/")))
         self.imported.sort(key=lambda t: -len(t[0].split("/")))
 
+    def _collect_ns(self, xslt_source: str) -> None:
+        pull = ET.XMLPullParser(["start-ns"])
+        pull.feed(xslt_source)
+        pull.close()
+        for _, (pfx, uri) in pull.read_events():
+            if not pfx or uri == XSL_NS:
+                continue  # default ns / the xsl prefix itself
+            prev = self.ns.get(pfx)
+            if prev is not None and prev != uri:
+                raise UnsupportedXsltError(
+                    f"namespace prefix {pfx!r} bound to two URIs "
+                    f"({prev!r} vs {uri!r}) — scoped prefix maps not supported")
+            self.ns[pfx] = uri
+
     def _compile(self, xslt_source: str, imported: bool, seen: set) -> None:
+        self._collect_ns(xslt_source)
         sheet = ET.fromstring(xslt_source)
         if sheet.tag not in (f"{_X}stylesheet", f"{_X}transform"):
             raise UnsupportedXsltError(f"not a stylesheet root: {sheet.tag}")
@@ -961,6 +1008,43 @@ class MiniXSLT:
             out.sort(key=keyf, reverse=(order == "descending"))
         return out
 
+    def _expand_qname(self, qname: str) -> str:
+        """``pfx:local`` → ElementTree's ``{uri}local`` via the stylesheet's
+        xmlns declarations. Undeclared prefix = loud error, never a silent
+        non-match."""
+        pfx, local = qname.split(":", 1)
+        uri = self.ns.get(pfx)
+        if uri is None:
+            raise UnsupportedXsltError(
+                f"undeclared namespace prefix in name test: {qname!r}")
+        return "{%s}%s" % (uri, local)
+
+    def _nt(self, tag, test: str) -> bool:
+        """XPath 1.0 name test against an ElementTree expanded tag.
+
+        ``*`` / ``node()`` match any element; ``pfx:local`` and ``pfx:*``
+        resolve the prefix against the stylesheet's xmlns declarations and
+        compare namespace-exactly; an UNPREFIXED name matches that local
+        name in ANY namespace — a documented deviation from XPath (which
+        would match only the null namespace): Solr mapping stylesheets
+        written without prefixes keep working over default-namespaced
+        sources, and the prefixed form is available when namespace
+        exactness matters."""
+        if test in ("*", "node()"):
+            return isinstance(tag, str)
+        if not isinstance(tag, str):
+            return False  # comments / PIs
+        if ":" in test:
+            pfx, local = test.split(":", 1)
+            uri = self.ns.get(pfx)
+            if uri is None:
+                raise UnsupportedXsltError(
+                    f"undeclared namespace prefix in name test: {test!r}")
+            if local == "*":
+                return tag.startswith("{%s}" % uri)
+            return tag == "{%s}%s" % (uri, local)
+        return _strip_ns(tag) == test
+
     def _step_base(self, n: ET.Element, base: str) -> list:
         base = base.strip()
         # explicit-axis sugar for the axes this subset supports
@@ -971,7 +1055,13 @@ class MiniXSLT:
         if base == "@*":
             return list(n.attrib.values())
         if base.startswith("@"):
-            v = n.attrib.get(base[1:])
+            aname = base[1:]
+            if ":" in aname:
+                if aname.endswith(":*"):
+                    return [v for k, v in n.attrib.items()
+                            if self._nt(k, aname)]
+                aname = self._expand_qname(aname)
+            v = n.attrib.get(aname)
             return [v] if v is not None else []
         if base == "text()":
             return [n.text] if n.text else []
@@ -992,7 +1082,7 @@ class MiniXSLT:
             if p is None:
                 return []
             if base == ".." or base == "parent::*" or (
-                _strip_ns(p.tag) == base[len("parent::"):]
+                self._nt(p.tag, base[len("parent::"):])
             ):
                 # parent::* is an ELEMENT test — the document stand-in isn't one
                 if base != ".." and p.tag == "__document__":
@@ -1011,10 +1101,7 @@ class MiniXSLT:
             # predicates see the spec's proximity position — ancestor::x[1]
             # is the NEAREST x; _select normalizes the final node-set back
             # into document order afterwards
-            return [
-                c for c in chain
-                if name in ("*", "node()") or _strip_ns(c.tag) == name
-            ]
+            return [c for c in chain if self._nt(c.tag, name)]
         if base.startswith(("following-sibling::", "preceding-sibling::")):
             name = base.split("::", 1)[1]
             p = getattr(self, "_parent", {}).get(id(n))
@@ -1026,10 +1113,7 @@ class MiniXSLT:
                 chosen = sibs[i + 1:]
             else:
                 chosen = sibs[:i][::-1]  # reverse axis: nearest-first
-            return [
-                c for c in chosen
-                if name in ("*", "node()") or _strip_ns(c.tag) == name
-            ]
+            return [c for c in chosen if self._nt(c.tag, name)]
         if base.startswith(("following::", "preceding::")):
             # whole-document axes (§2.2): doc-order slices around n minus
             # its own subtree (following) / its ancestor chain (preceding)
@@ -1049,32 +1133,23 @@ class MiniXSLT:
                     cur = self._parent.get(id(cur))
                 # reverse axis: nearest (latest in doc order) first
                 chosen = [e for e in order[:idx] if id(e) not in ancs][::-1]
-            return [
-                e for e in chosen
-                if name in ("*", "node()") or _strip_ns(e.tag) == name
-            ]
+            return [e for e in chosen if self._nt(e.tag, name)]
         if base.startswith(("descendant::", "descendant-or-self::")):
             name = base.split("::", 1)[1]
             if name == "text()":
                 raise UnsupportedXsltError(
                     "descendant::text() not supported — use //text()")
             # n.iter() is a document-order walk that yields n itself first
-            found = [
-                d for d in n.iter()
-                if isinstance(d.tag, str)
-                and (name in ("*", "node()") or _strip_ns(d.tag) == name)
-            ]
+            found = [d for d in n.iter() if self._nt(d.tag, name)]
             if base.startswith("descendant::"):
                 found = [d for d in found if d is not n]
             return found
         if base.startswith("self::"):
             name = base[len("self::"):]
-            if name == "node()" or name == "*" or _strip_ns(n.tag) == name:
-                return [n]
-            return []
+            return [n] if self._nt(n.tag, name) else []
         if "::" in base:
             raise UnsupportedXsltError(f"axis not supported: {base!r}")
-        return [c for c in n if _strip_ns(c.tag) == base]
+        return [c for c in n if self._nt(c.tag, base)]
 
     def _pred(self, ctx: _Ctx, value, pred: str, pos: int, last: int,
               root: ET.Element) -> bool:
@@ -1129,7 +1204,6 @@ class MiniXSLT:
         """True if ``elem`` matches a (predicate-free) pattern like
         ``name``, ``a/b``, ``*``, ``/abs/path`` — suffix match on the
         recorded ancestor names (shared by template dispatch and xsl:key)."""
-        name = _strip_ns(elem.tag)
         if "|" in match:
             # pattern alternation (XSLT 1.0 §5.2 Pattern ::= ... '|' ...)
             alts = _split_outside(match, "|")
@@ -1142,16 +1216,16 @@ class MiniXSLT:
         if "[" in match:
             return self._matches_pattern_with_preds(elem, match)
         if "//" in match:
-            return self._matches_descendant_pattern(elem, name, match)
+            return self._matches_descendant_pattern(elem, match)
         steps = [s for s in match.split("/") if s]
         if not steps:
             return False
-        if steps[-1] not in ("*", name):
+        if not self._nt(elem.tag, steps[-1]):
             return False
         anc = self._ancestors.get(id(elem), [])
         want = steps[:-1]
         if len(want) <= len(anc) and all(
-            w in ("*", a) for w, a in zip(want, anc[len(anc) - len(want):])
+            self._nt(a, w) for w, a in zip(want, anc[len(anc) - len(want):])
         ):
             return not match.startswith("/") or len(want) == len(anc)
         return False
@@ -1228,18 +1302,14 @@ class MiniXSLT:
         if "::" in base or base in ("..", ".") or base.startswith("@"):
             raise UnsupportedXsltError(
                 f"only name/* steps supported in match patterns: {step!r}")
-        if base != "*" and _strip_ns(e.tag) != base:
+        if not self._nt(e.tag, base):
             return False
         preds = _PRED_RE.findall(preds_src) if preds_src else []
         if not preds:
             return True
         parent = self._parent.get(id(e))
         if parent is not None:
-            sibs = [
-                c for c in parent
-                if isinstance(c.tag, str)
-                and (base == "*" or _strip_ns(c.tag) == base)
-            ]
+            sibs = [c for c in parent if self._nt(c.tag, base)]
             pos = 1 + next(j for j, c in enumerate(sibs) if c is e)
             last = len(sibs)
         else:
@@ -1249,22 +1319,30 @@ class MiniXSLT:
             self._pred(ctx, e, pred, pos, last, root) for pred in preds
         )
 
-    def _matches_descendant_pattern(
-        self, elem: ET.Element, name: str, match: str
-    ) -> bool:
+    def _matches_descendant_pattern(self, elem: ET.Element, match: str) -> bool:
         """``//`` in a match pattern (XSLT 1.0 §5.2): ``a//b`` matches a b
         with an ``a`` ancestor, ``//b`` ≡ ``b``. Compiled to a regex over the
-        space-joined ancestor-name chain (names cannot contain spaces)."""
+        space-joined ancestor-tag chain (expanded tags cannot contain
+        spaces — a URI with a space is not a valid URI)."""
         anc = self._ancestors.get(id(elem), [])
-        chain = " " + " ".join(anc + [name]) + " "
+        chain = " " + " ".join(anc + [elem.tag]) + " "
         absolute = match.startswith("/") and not match.startswith("//")
+
+        def step_rx(s: str) -> str:
+            if s == "*":
+                return "[^ ]+"
+            if ":" in s:
+                uri, local = self._expand_qname(s)[1:].split("}", 1)
+                return re.escape("{%s}" % uri) + (
+                    "[^ ]+" if local == "*" else re.escape(local))
+            # unprefixed: any (or no) namespace — the _nt deviation
+            return r"(?:\{[^ }]*\})?" + re.escape(s)
+
         groups = []
         for g in match.split("//"):
             steps = [s for s in g.split("/") if s]
             if steps:
-                groups.append(
-                    " ".join("[^ ]+" if s == "*" else re.escape(s) for s in steps)
-                )
+                groups.append(" ".join(step_rx(s) for s in steps))
         if not groups:
             return False
         gap = " (?:[^ ]+ )*"
@@ -1308,7 +1386,7 @@ class MiniXSLT:
             for c in e:
                 if isinstance(c.tag, str):
                     self._parent[id(c)] = e
-                    record(c, path + [_strip_ns(e.tag)])
+                    record(c, path + [e.tag])
 
         record(src, [])
         self._parent[id(src)] = doc  # parent of the root ELEMENT = root node
@@ -1442,8 +1520,10 @@ class MiniXSLT:
             raise UnsupportedXsltError("xsl:number outside an element context")
         count_pat = node.get("count")
         if count_pat is None:
-            name = _strip_ns(cur.tag)
-            matches = lambda e: _strip_ns(e.tag) == name  # noqa: E731
+            # default count: same EXPANDED name as the context node (§7.7 —
+            # namespace-exact, unlike an unprefixed name test)
+            name = cur.tag
+            matches = lambda e: e.tag == name  # noqa: E731
         else:
             matches = lambda e: self._matches_pattern(e, count_pat)  # noqa: E731
         from_pat = node.get("from")

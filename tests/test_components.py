@@ -1356,3 +1356,90 @@ def test_spark_submit_py_files(tmp_path):
     assert out["k_returned"] == 5
     assert out["absent_returns"] == 0
     assert out["sha256_mismatches"] == 0
+
+
+def test_xslt_namespaced_sources():
+    """Round-5: namespace-aware name tests. Prefixed tests (``a:entry``,
+    ``a:*``, ``@x:lang``) resolve through the STYLESHEET's xmlns
+    declarations and match namespace-exactly (select paths, match patterns
+    incl. ``//`` gaps and predicates, xsl:key); unprefixed tests stay
+    namespace-agnostic (documented deviation so prefix-free mapping sheets
+    keep working over default-namespaced docs); namespace-uri()/name()/
+    local-name() per §4.1 with stylesheet-declared prefixes."""
+    import xml.etree.ElementTree as ET
+
+    from solrutils_spark.sources.minixslt import MiniXSLT
+
+    sheet = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        xmlns:a="http://ex.com/atom" xmlns:d="http://ex.com/dc"
+        xmlns:x="http://ex.com/xml">
+      <xsl:template match="/">
+        <add>
+          <xsl:apply-templates select="a:feed/a:entry"/>
+          <n><xsl:value-of select="count(//a:feed/*)"/></n>
+          <m><xsl:value-of select="count(//a:feed/a:*)"/></m>
+          <k><xsl:value-of select="key('bylang', 'en')/a:title"/></k>
+        </add>
+      </xsl:template>
+      <xsl:key name="bylang" match="a:feed//a:entry" use="@x:lang"/>
+      <xsl:template match="a:entry[@x:lang='en']">
+        <doc lang="{@x:lang}" uri="{namespace-uri()}" q="{name()}"
+             l="{local-name()}">
+          <xsl:value-of select="a:title"/>|<xsl:value-of select="d:creator"/>
+        </doc>
+      </xsl:template>
+      <xsl:template match="a:entry">
+        <skip><xsl:value-of select="title"/></skip>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    xml = """<feed xmlns="http://ex.com/atom" xmlns:dc="http://ex.com/dc"
+                  xmlns:xm="http://ex.com/xml">
+      <entry xm:lang="en"><title>Hello</title><dc:creator>bob</dc:creator></entry>
+      <entry xm:lang="fr"><title>Salut</title><dc:creator>ann</dc:creator></entry>
+      <other>not-atom</other>
+    </feed>""".replace("<other>", '<other xmlns="http://ex.com/other">')
+    out = ET.fromstring(MiniXSLT(sheet)(xml))
+    doc = out.find("doc")
+    # the en entry hits the namespace-exact predicate template; the fr one
+    # falls to the unprefixed-select template (title matches any namespace)
+    assert doc.get("lang") == "en"
+    assert doc.get("uri") == "http://ex.com/atom"
+    assert doc.get("q") == "a:entry" and doc.get("l") == "entry"
+    assert (doc.text or "") + "".join(doc.itertext()) != ""
+    assert "Hello|bob" in "".join(doc.itertext())
+    assert out.find("skip").text == "Salut"
+    # a:feed/* counts all three children; a:feed/a:* excludes the
+    # other-namespace one
+    assert out.find("n").text == "3"
+    assert out.find("m").text == "2"
+    # xsl:key with a prefixed match pattern and prefixed-attribute use
+    assert out.find("k").text == "Hello"
+
+
+def test_xslt_namespace_gates():
+    """Undeclared prefixes and conflicting redeclarations raise loudly."""
+    import pytest
+
+    from solrutils_spark.sources.minixslt import MiniXSLT, UnsupportedXsltError
+
+    undeclared = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><o><xsl:value-of select="b:x"/></o></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError, match="undeclared namespace"):
+        MiniXSLT(undeclared)("<r><x>1</x></r>")
+
+    main = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        xmlns:p="http://one">
+      <xsl:include href="other"/>
+      <xsl:template match="/"><o><xsl:value-of select="p:x"/></o></xsl:template>
+    </xsl:stylesheet>"""
+    other = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        xmlns:p="http://two">
+      <xsl:template match="zzz"><z/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(UnsupportedXsltError, match="two URIs"):
+        MiniXSLT(main, resolver=lambda href: other)
