@@ -1,6 +1,6 @@
 """Baseline JPEG (JFIF) codec in pure Python + numpy — no codec library.
 
-Closes the round-4 JPEG half of the multimodal waiver the same way round 4
+Closes (round 4→5) the JPEG half of the multimodal waiver the same way round 4
 closed PNG (stdlib zlib) and GIF (pure-Python LZW): the container ships no
 libjpeg/Pillow and pip is disallowed, but baseline sequential JPEG (SOF0,
 Huffman, 8-bit) is implementable from the ITU T.81 spec with numpy doing
@@ -9,12 +9,20 @@ the DCT math. MP3/MP4 remain honestly gated (they need real codec libs).
 Scope (loud ``NotImplementedError`` beyond it, matching the repo's
 loud-failure contract):
 
-- decode: baseline DCT (SOF0), 8-bit, gray or YCbCr, any sampling factors
-  up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers (DRI/RSTn), multiple
-  DQT/DHT segments. Progressive (SOF2), arithmetic coding, 12-bit, and
+- decode: baseline DCT (SOF0/1) AND progressive (SOF2, round 5: all four
+  T.81 Annex G scan types — interleaved DC first/refine, per-component
+  spectral-selection AC first/refine with successive approximation and
+  EOB-run coding; validated against an independently-produced real-world
+  progressive file). 8-bit, gray or YCbCr, sampling factors up to 2x2
+  (4:4:4 / 4:2:2 / 4:2:0), restart markers (DRI/RSTn), multiple DQT/DHT
+  segments incl. between scans. Arithmetic coding, 12-bit, lossless and
   hierarchical modes raise.
 - encode: test-fixture encoder — gray or 4:4:4 / 4:2:0 color, Annex K
-  quantization tables scaled by a quality factor, Annex K Huffman tables.
+  quantization tables scaled by a quality factor; baseline uses Annex K
+  Huffman tables, ``progressive=True`` emits an SOF2 scan script with
+  per-scan optimal Huffman tables (Annex K carries no EOBn symbols) that
+  reconstructs bit-identically to the baseline path (successive
+  approximation is coefficient-lossless; the tests pin this).
 
 This is a correctness-first decoder for the multimodal ingest path (the
 Spark-side plumbing batches payloads through Arrow; see
@@ -237,12 +245,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive (Huffman)
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0/1) "
-                "is supported — progressive/arithmetic/hierarchical streams "
-                "need a codec library")
+                "and progressive (SOF2) are supported — lossless/arithmetic/"
+                "hierarchical streams need a codec library")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -296,7 +306,11 @@ def _decode_scan(data, pos, h, w, comps, qt, huff_dc, huff_ac, restart_interval)
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
             mcu_in_segment += 1
-    # upsample to full resolution and crop
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to full resolution, crop, color-convert."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -335,6 +349,275 @@ def _decode_block(reader, dc_tab, ac_tab, pred, ci):
     out = np.empty((8, 8), dtype=np.float64)
     out.flat = coef
     return out
+
+
+# -------------------------------------------------- progressive decode ----
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Scan forward to the next real marker (skips stuffed FF00 and fill
+    FFs) and return the position of its 0xFF byte."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("invalid JPEG: ran off the end looking for a marker")
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    """Progressive JFIF (SOF2, Huffman) → HxWx3 uint8 RGB (HxWx1 gray).
+
+    T.81 Annex G: coefficients accumulate across scans — DC first/refine
+    (interleaved allowed), AC first/refine (single-component, spectral
+    band Ss..Se, successive approximation Ah→Al with EOB-run coding) —
+    then one dequantize+IDCT pass. Same no-codec-library playbook as the
+    PNG/GIF decoders; reference parity target is what
+    ExternalFileLoader-style pipelines feed through codec hooks."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = hmax = vmax = mcux = mcuy = 0
+    restart_interval = 0
+    coefs: list[np.ndarray] = []  # per comp: (bv_pad, bh_pad, 64) natural order
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"invalid JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (identical handling to baseline)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if prec == 0:
+                    tbl = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = tbl
+                qt[tid] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — may also appear BETWEEN scans
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(seg[i + 17:i + 17 + nv])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _build_decode_table(bits, values)
+                i += 17 + nv
+        elif marker == 0xC2:
+            _prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if _prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors above 2x2 not supported")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # real (non-interleaved) block grid vs MCU-padded grid
+                cw = -(-(w * c["h"]) // hmax)
+                ch = -(-(h * c["v"]) // vmax)
+                c["bw"], c["bh"] = -(-cw // 8), -(-ch // 8)
+                coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                      dtype=np.int32))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("invalid JPEG: second SOF in a progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("invalid JPEG: SOS before SOF")
+            ns = seg[0]
+            scan: list[int] = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                for ci, comp in enumerate(comps):
+                    if comp["id"] == cid:
+                        comp["td"], comp["ta"] = tabs >> 4, tabs & 0xF
+                        scan.append(ci)
+            ss, se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 0xF
+            end = _decode_prog_scan(
+                payload, pos + seglen, comps, scan, coefs, ss, se, ah, al,
+                huff_dc, huff_ac, mcux, mcuy, restart_interval)
+            pos = end
+            continue
+        pos += seglen
+    if not coefs:
+        raise ValueError("invalid JPEG: no SOS segment")
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        blocks = coefs[ci].astype(np.float64)  # natural order
+        bv, bh = blocks.shape[:2]
+        plane = np.empty((bv * 8, bh * 8), dtype=np.float64)
+        for y in range(bv):
+            for x in range(bh):
+                coef = blocks[y, x].reshape(8, 8)
+                # EXACT same float expression as the baseline scan decoder,
+                # so a progressive stream of the same coefficients produces
+                # bit-identical pixels (the tests pin this equality)
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = (
+                    _B.T @ (coef * q) @ _B + 128.0)
+        planes.append(plane)
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _decode_prog_scan(data, pos, comps, scan, coefs, ss, se, ah, al,
+                      huff_dc, huff_ac, mcux, mcuy, restart_interval):
+    """Decode one progressive scan into the coefficient accumulators;
+    returns the payload position of the next marker."""
+    reader = _BitReader(data, pos)
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+    try:
+        return _run_prog_scan(data, reader, state, comps, scan, coefs, ss,
+                              se, ah, al, huff_dc, huff_ac, mcux, mcuy,
+                              restart_interval)
+    except (_MarkerHit, IndexError) as e:
+        raise ValueError("invalid JPEG: truncated or corrupt scan") from e
+
+
+def _run_prog_scan(data, reader, state, comps, scan, coefs, ss, se, ah, al,
+                   huff_dc, huff_ac, mcux, mcuy, restart_interval):
+
+    def dc_first(block, ci):
+        t = reader.decode_symbol(huff_dc[comps[ci]["td"]])
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        state["pred"][ci] += diff
+        block[0] = state["pred"][ci] << al
+
+    def dc_refine(block, ci):
+        if reader.read_bit():
+            block[0] |= 1 << al
+
+    def ac_first(block, ci):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tab = huff_ac[comps[ci]["ta"]]
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)-1+ext END-OF-BAND blocks
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("invalid JPEG: AC run past band end")
+            block[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(block, ci):
+        # T.81 G.2 / libjpeg decode_mcu_AC_refine: correction bits for
+        # history-nonzero coefficients interleave with newly-significant
+        # insertions; an EOB run still carries correction bits
+        tab = huff_ac[comps[ci]["ta"]]
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k_):
+            c = _ZIGZAG[k_]
+            if block[c] != 0 and reader.read_bit() and not (block[c] & p1):
+                block[c] += p1 if block[c] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        state["eobrun"] += 1  # consumed below for THIS block
+                        break
+                    # ZRL: skip 16 zero-history positions, correcting others
+                else:
+                    if s != 1:
+                        raise ValueError("invalid JPEG: AC refine size != 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    c = _ZIGZAG[k]
+                    if block[c] != 0:
+                        if reader.read_bit() and not (block[c] & p1):
+                            block[c] += p1 if block[c] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[_ZIGZAG[k]] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ah == 0:
+        per_block = dc_first if ss == 0 else ac_first
+    else:
+        per_block = dc_refine if ss == 0 else ac_refine
+
+    def maybe_restart(units_done):
+        if restart_interval and units_done and units_done % restart_interval == 0:
+            reader.align()
+            if data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7:
+                reader.pos += 2
+            state["eobrun"] = 0
+            state["pred"] = [0] * len(comps)
+
+    if len(scan) > 1:  # interleaved (DC scans only, per T.81)
+        if ss != 0:
+            raise ValueError("invalid JPEG: interleaved AC scan")
+        units = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(units)
+                for ci in scan:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            per_block(
+                                coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                ci)
+                units += 1
+    else:  # non-interleaved: the component's REAL block grid (T.81 A.2.2)
+        ci = scan[0]
+        c = comps[ci]
+        units = 0
+        for y in range(c["bh"]):
+            for x in range(c["bw"]):
+                maybe_restart(units)
+                per_block(coefs[ci][y, x], ci)
+                units += 1
+    return _next_marker(data, reader.pos)
 
 
 # ------------------------------------------------------------- encoder ----
@@ -405,12 +688,218 @@ def _encode_block(bw, coef, q, pred, ci, dc_tab, ac_tab):
         bw.write(code, length)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
-    """HxWx3 RGB (or HxW / HxWx1 gray) uint8 → baseline JFIF bytes.
+def _gen_huffman_spec(freq256: list[int]) -> tuple[list[int], list[int]]:
+    """Optimal JPEG Huffman table from symbol frequencies (T.81 K.2-K.3,
+    the jpeg_gen_optimal_table procedure): returns (bits[16], huffval).
+    A dummy 257th symbol with frequency 1 reserves the all-ones code, and
+    code lengths are folded down to the 16-bit ceiling."""
+    freq = list(freq256) + [1]
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = c2 = -1
+        v = float("inf")
+        for i in range(257):  # smallest freq; ties → larger symbol index
+            if freq[i] and freq[i] <= v:
+                v, c1 = freq[i], i
+        v = float("inf")
+        for i in range(257):
+            if freq[i] and freq[i] <= v and i != c1:
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for s in codesize:
+        if s:
+            bits[s] += 1
+    i = 32
+    while i > 16:  # K.3: push over-long codes up into shorter slots
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the dummy (the reserved all-ones code)
+    huffval = [s for size in range(1, 17)
+               for s in range(256) if codesize[s] == size]
+    return bits[1:17], huffval
+
+
+class _FreqSink:
+    """Counting pass: tallies Huffman symbols per table id."""
+
+    def __init__(self):
+        self.freq: dict[int, list[int]] = {}
+
+    def sym(self, tid: int, s: int) -> None:
+        self.freq.setdefault(tid, [0] * 256)[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Emitting pass: writes Huffman codes + raw bits."""
+
+    def __init__(self, bw: "_BitWriter", tables: dict[int, dict]):
+        self.bw = bw
+        self.tables = tables
+
+    def sym(self, tid: int, s: int) -> None:
+        code, length = self.tables[tid][s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _enc_dc_first(sink, zzb, samp, dctid, mcux, mcuy, al):
+    pred = [0] * len(zzb)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zzb[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = _mag_cat(diff)
+                        sink.sym(dctid[ci], t)
+                        sink.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_dc_refine(bw, zzb, samp, mcux, mcuy, al):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zzb[ci][my * sv + by, mx * sh + bx, 0])
+                        bw.write((dc >> al) & 1, 1)
+
+
+def _enc_ac_first(sink, tid, blocks, ss, se, al):
+    """AC first scan over one component's real block grid (T.81 G.1.2.2:
+    magnitude categories of ``|v| >> Al`` with EOBn run coding)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(tid, nb << 4)
+            sink.bits(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+
+    for block in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(block[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                sink.sym(tid, 0xF0)
+                r -= 16
+            s = t.bit_length()
+            sink.sym(tid, (r << 4) | s)
+            sv = t if v >= 0 else -t
+            sink.bits(sv if sv >= 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(sink, tid, blocks, ss, se, al):
+    """AC refinement scan (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine):
+    newly-significant coefficients code as (run<<4)|1 + sign bit; already
+    nonzero ones contribute buffered correction bits; end-of-band runs
+    carry their correction bits after the EOBn symbol."""
+    eobrun = 0
+    pend: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(tid, nb << 4)
+            sink.bits(eobrun & ((1 << nb) - 1), nb)
+        for b in pend:
+            sink.bits(b, 1)
+        eobrun, pend = 0, []
+
+    for block in blocks:
+        eob = ss - 1  # position of the last newly-significant coefficient
+        for k in range(ss, se + 1):
+            if (abs(int(block[k])) >> al) == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            v = int(block[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:  # ZRLs not foldable into the EOB run
+                flush_eob()
+                sink.sym(tid, 0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if t > 1:  # already significant: buffer its correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            sink.sym(tid, (r << 4) | 1)
+            sink.bits(1 if v >= 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend += br
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
+                progressive: bool = False) -> bytes:
+    """HxWx3 RGB (or HxW / HxWx1 gray) uint8 → JFIF bytes.
 
     ``subsample=True`` uses 4:2:0 chroma (exercises the decoder's
-    upsampling path); default is 4:4:4. Fixture-grade: Annex K tables,
-    no restart markers, no optimization passes."""
+    upsampling path); default is 4:4:4. ``progressive=True`` emits an
+    SOF2 stream with the full scan-type spectrum — interleaved DC first +
+    refine, per-component spectral-selection AC first + refine at
+    successive approximation Al=1→0 — with per-scan optimal Huffman
+    tables (Annex K tables carry no EOBn symbols). Baseline is
+    fixture-grade: Annex K tables, no restart markers."""
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[..., 0]
@@ -454,6 +943,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         ph, pw = mcuy * 8 * sv, mcux * 8 * sh
         padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                              mode="edge"))
+
+    if progressive:
+        return _encode_progressive(padded, samp, qtabs, h, w, gray,
+                                   mcux, mcuy, ql, qc)
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -503,4 +996,109 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_progressive(padded, samp, qtabs, h, w, gray, mcux, mcuy, ql, qc):
+    """Assemble the SOF2 stream: quantized zigzag coefficients once, then
+    the scan script (DC first → AC first per band/component → DC refine →
+    AC refine), two passes per Huffman scan (count → optimal DHT → emit)."""
+    ncomp = len(padded)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    zzb = []
+    for p, q in zip(padded, qtabs):
+        bv, bh = p.shape[0] // 8, p.shape[1] // 8
+        quant = np.empty((bv, bh, 64), dtype=np.int64)
+        for y in range(bv):
+            for x in range(bh):
+                blk = p[y * 8:y * 8 + 8, x * 8:x * 8 + 8]
+                # EXACT same float expression as the baseline encoder so
+                # round-half coefficients quantize identically — the tests
+                # pin progressive == baseline bit-identity
+                coef = _B @ blk @ _B.T
+                quant[y, x] = np.round(coef / q).astype(np.int64).reshape(64)
+        zzb.append(quant[..., _ZIGZAG])  # stream (zigzag) order
+    # real (non-interleaved) block grids for the AC scans
+    real = []
+    for ci, (sh, sv) in enumerate(samp):
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        real.append((-(-ch // 8), -(-cw // 8)))  # (rows, cols)
+
+    def ac_blocks(ci):
+        rows, cols = real[ci]
+        return [zzb[ci][y, x] for y in range(rows) for x in range(cols)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, tbl):
+        zz = tbl.flatten()[_ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(v) for v in zz)
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, spec):
+        bits, values = spec
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_tabs, ss, se, ah, al):
+        body = bytes([len(comp_tabs)])
+        for cid, td, ta in comp_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    dctid = [0] + [1] * (ncomp - 1)
+
+    def two_pass(run, cls, sos_bytes):
+        """Count symbols, emit optimal DHT(s) + SOS, then the scan data."""
+        nonlocal out
+        fs = _FreqSink()
+        run(fs)
+        tables = {}
+        for tid, freq in sorted(fs.freq.items()):
+            spec = _gen_huffman_spec(freq)
+            out += dht(cls, tid, spec)
+            tables[tid] = _build_encode_table(*spec)
+        out += sos_bytes
+        bw = _BitWriter()
+        run(_WriteSink(bw, tables))
+        bw.flush()
+        out += bw.out
+
+    # 1. DC first (interleaved, successive approximation Al=1)
+    two_pass(
+        lambda sink: _enc_dc_first(sink, zzb, samp, dctid, mcux, mcuy, 1),
+        0, sos([(ci + 1, dctid[ci], 0) for ci in range(ncomp)], 0, 0, 0, 1))
+    # 2. AC first: comp 0 in two spectral-selection bands, chroma whole-band
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, ss_, se_ in bands:
+        two_pass(
+            lambda sink, ci=ci, ss_=ss_, se_=se_: _enc_ac_first(
+                sink, 0, ac_blocks(ci), ss_, se_, 1),
+            1, sos([(ci + 1, 0, 0)], ss_, se_, 0, 1))
+    # 3. DC refine (interleaved, Ah=1 → Al=0): raw bits, no Huffman table
+    out += sos([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    _enc_dc_refine(bw, zzb, samp, mcux, mcuy, 0)
+    bw.flush()
+    out += bw.out
+    # 4. AC refine, same bands (Ah=1 → Al=0)
+    for ci, ss_, se_ in bands:
+        two_pass(
+            lambda sink, ci=ci, ss_=ss_, se_=se_: _enc_ac_refine(
+                sink, 0, ac_blocks(ci), ss_, se_, 0),
+            1, sos([(ci + 1, 0, 0)], ss_, se_, 1, 0))
+    out += b"\xff\xd9"
     return bytes(out)

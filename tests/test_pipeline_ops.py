@@ -657,9 +657,9 @@ def test_png_roundtrip_and_variants():
 
     # honest gates survive
     with _pytest.raises(NotImplementedError):
-        decode_image(  # progressive JPEG (SOF2) — still codec-gated
+        decode_image(  # arithmetic-coded JPEG (SOF9) — still codec-gated
             b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-            b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+            b"\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     interlaced = (_PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
                   + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
@@ -725,9 +725,9 @@ def test_gif_roundtrip_and_variants():
     with _pytest.raises(ValueError):
         encode_gif(many.reshape(17, 20, 3))
     with _pytest.raises(NotImplementedError):
-        decode_image(  # progressive JPEG (SOF2) — still codec-gated
+        decode_image(  # arithmetic-coded JPEG (SOF9) — still codec-gated
             b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-            b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+            b"\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     with _pytest.raises(ValueError):
         decode_image(b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0, 0, 0) + b"\x3B")
 
@@ -770,13 +770,92 @@ def test_jpeg_roundtrip_and_variants():
     f = real_feature(encode_jpeg(img))
     assert f.shape == (64,) and f.dtype == _np.float32
 
-    # loud gates: progressive and non-8-bit refuse
-    prog = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-            b"\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+    # loud gates: arithmetic-coded (SOF9) and non-JPEG refuse
+    arith = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+             b"\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(arith)
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_progressive_roundtrip():
+    """Round-5: progressive JPEG (SOF2) decode — T.81 Annex G scan types
+    (interleaved DC first/refine, per-component spectral-selection AC
+    first/refine with successive approximation and EOB-run coding) plus a
+    progressive ENCODER with per-scan optimal Huffman tables (Annex K has
+    no EOBn symbols). Successive approximation is coefficient-lossless, so
+    progressive decode must be BIT-IDENTICAL to baseline decode of the
+    same image at the same quality — the strongest available oracle, since
+    the baseline path was validated against independently-produced files."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from solrutils_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    from solrutils_spark.operators.multimodal import decode_image, real_feature
+
+    rng = _np.random.default_rng(23)
+    h, w = 41, 35  # not MCU-aligned at 8 or 16
+    yy, xx = _np.mgrid[0:h, 0:w]
+    img = _np.stack([yy * 255 / h, xx * 255 / w, (yy * xx) % 256], axis=-1)
+    img = _np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(_np.uint8)
+
+    for sub in (False, True):
+        for q in (35, 92):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            pb = encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+            assert pb.index(b"\xff\xc2") < pb.index(b"\xff\xda")  # really SOF2
+            assert (decode_jpeg(pb) == base).all(), (sub, q)
+
+    # a flat image maximizes EOB runs (EOBn with n ≫ 1) across the whole
+    # AC band — exercises the run-length accumulation on both sides
+    flat = _np.full((64, 64, 3), 130, dtype=_np.uint8)
+    flat[::9, ::9] = 90  # a little structure so DC varies
+    pb = encode_jpeg(flat, quality=90, progressive=True)
+    assert (decode_jpeg(pb) == decode_jpeg(encode_jpeg(flat, quality=90))).all()
+
+    # grayscale single-component script
+    g = _np.clip(yy * 255 / h + rng.normal(0, 3, (h, w)), 0, 255).astype(_np.uint8)
+    bg = decode_jpeg(encode_jpeg(g, quality=88))
+    pg = encode_jpeg(g, quality=88, progressive=True)
+    assert (decode_jpeg(pg) == bg).all() and decode_jpeg(pg).shape == (h, w, 1)
+
+    # dispatch + feature path accept progressive payloads
+    assert decode_image(pg).shape == (h, w, 3)
+    assert real_feature(pb).shape == (64,)
+
+    # truncated progressive stream fails loudly, not silently
+    with _pytest.raises(ValueError):
+        decode_jpeg(pb[: len(pb) // 3])
+
+
+def test_jpeg_progressive_real_world_file():
+    """Independently-produced validation: the Rust toolchain docs ship a
+    real 259 KB progressive JPEG (libjpeg-style scan script with spectral
+    selection AND successive approximation — scans this repo's own encoder
+    doesn't emit). Decode must complete every scan and produce a coherent
+    photo: adjacent-pixel mean |Δ| ~12 for this image vs ~85 for the
+    uniform-noise output a Huffman desync would produce."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from solrutils_spark.operators.jpegcodec import decode_jpeg
+
+    hits = _glob.glob(
+        "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/"
+        "assets/f3.jpg")
+    if not hits or not _os.path.exists(hits[0]):
+        _pytest.skip("rust-docs progressive JPEG not present on this host")
+    data = open(hits[0], "rb").read()
+    sofs = {data[i + 1] for i in range(len(data) - 1) if data[i] == 0xFF}
+    assert 0xC2 in sofs and 0xC0 not in sofs  # really progressive
+    img = decode_jpeg(data)
+    assert img.shape == (477, 720, 3) and img.dtype == _np.uint8
+    smooth = _np.abs(_np.diff(img.astype(float), axis=1)).mean()
+    assert smooth < 25.0, smooth  # coherent image, not desync noise
 
 
 def test_container_probes(spark):
