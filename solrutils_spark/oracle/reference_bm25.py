@@ -109,31 +109,47 @@ class OracleIndex:
 
     @staticmethod
     def _sloppy_pf(toks: list[str], seq: list[str], slop: int) -> float:
-        """Minimal-window sloppy frequency via a heap sweep: one adjusted
-        position (p - phrase_offset) per phrase term per window; a window
-        whose span ≤ slop contributes 1/(1+span); the minimum always
-        advances (ties: lowest phrase offset)."""
-        import heapq
-
+        """Minimal-window sloppy frequency: one adjusted position
+        (p - phrase_offset) per phrase term per window; a window whose span
+        ≤ slop contributes 1/(1+span); the minimum always advances (ties:
+        lowest phrase offset). Slots sharing a REPEATED term must hold
+        strictly increasing position-list indexes in slot order (distinct
+        token positions, phrase order — round 5, same defined semantics as
+        the engine's repeats cascade but formulated as a global
+        re-normalization pass each step)."""
+        m = len(seq)
         lists = []
         for i, t in enumerate(seq):
             li = [p - i for p, tok in enumerate(toks) if tok == t]
             if not li:
                 return 0.0
             lists.append(li)
-        heap = [(lists[i][0], i, 0) for i in range(len(seq))]
-        heapq.heapify(heap)
-        mx = max(v for v, _, _ in heap)
+        term_slots: dict[str, list[int]] = {}
+        for i, t in enumerate(seq):
+            term_slots.setdefault(t, []).append(i)
+        cur = [0] * m
+
+        def normalize() -> bool:
+            """Enforce strictly-increasing indexes inside each same-term
+            slot group; False when any pointer falls off its list."""
+            for slots in term_slots.values():
+                hi = -1
+                for s in slots:
+                    cur[s] = max(cur[s], hi + 1)
+                    hi = cur[s]
+            return all(cur[s] < len(lists[s]) for s in range(m))
+
+        if not normalize():
+            return 0.0
         freq = 0.0
         while True:
-            mn, i, idx = heap[0]
-            if mx - mn <= slop:
-                freq += 1.0 / (1.0 + (mx - mn))
-            if idx + 1 >= len(lists[i]):
+            vals = [lists[i][cur[i]] for i in range(m)]
+            span = max(vals) - min(vals)
+            if span <= slop:
+                freq += 1.0 / (1.0 + span)
+            cur[min(range(m), key=lambda j: (vals[j], j))] += 1
+            if not normalize():
                 return freq
-            nxt = lists[i][idx + 1]
-            heapq.heapreplace(heap, (nxt, i, idx + 1))
-            mx = max(mx, nxt)
 
     def expand_wildcard(self, pattern: str) -> list[str]:
         import fnmatch

@@ -448,10 +448,20 @@ def _sloppy_freq(toks: list[str], seq: list[str], slop: int) -> float:
     ``{p - i}``; pointers advance past the current minimum — when the
     current window's span is ≤ slop it is a match and the minimum advances
     (Lucene's advance-min repositioning), otherwise the minimum advances to
-    seek a tighter window. Phrases with REPEATED terms under slop > 0 are
-    loudly gated (two phrase slots could claim one token position; Lucene
-    runs a special repeats resolution we don't reproduce) — exact phrases
-    (slop=0) handle repeats via direct window comparison."""
+    seek a tighter window.
+
+    REPEATED terms (round 5: was a loud gate): phrase slots sharing a term
+    share one position list, so an unconstrained sweep could assign the
+    SAME token position to two slots ("a a"~2 false-matching a doc with a
+    single ``a``). Like Lucene's repeats resolution (SloppyPhraseMatcher
+    keeps repeating slots at strictly increasing positions), same-term
+    slots hold strictly increasing list indexes — initialized 0,1,2,… in
+    slot order and cascaded forward whenever an earlier slot advances onto
+    a later one. Exact phrases (slop=0) handle repeats via direct window
+    comparison; corner-case windows where Lucene's tie-breaking differs
+    may count matches in a different order, but match EXISTENCE and
+    single-window frequencies agree (pinned by the brute-force oracle in
+    tests/test_boolean.py)."""
     m = len(seq)
     if m == 0 or len(toks) < m:
         return 0.0
@@ -461,7 +471,29 @@ def _sloppy_freq(toks: list[str], seq: list[str], slop: int) -> float:
         if not li:
             return 0.0
         lists.append(li)
+    # same-term slot groups, each ordered by slot index
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(seq):
+        groups.setdefault(t, []).append(i)
     cur = [0] * m
+    for slots in groups.values():
+        if len(lists[slots[0]]) < len(slots):
+            return 0.0  # fewer occurrences than slots — can never match
+        for j, i in enumerate(slots):
+            cur[i] = j
+
+    def advance(i: int) -> bool:
+        """Bump slot i's pointer, cascading within its same-term group so
+        list indexes stay strictly increasing; False = a pointer ran out."""
+        cur[i] += 1
+        slots = groups[seq[i]]
+        prev = cur[i]
+        for j in slots[slots.index(i) + 1:]:
+            if cur[j] <= prev:
+                cur[j] = prev + 1
+            prev = cur[j]
+        return all(cur[s] < len(lists[s]) for s in slots)
+
     freq = 0.0
     while True:
         vals = [lists[i][cur[i]] for i in range(m)]
@@ -470,8 +502,7 @@ def _sloppy_freq(toks: list[str], seq: list[str], slop: int) -> float:
         mn_i = vals.index(mn)
         if mx - mn <= slop:
             freq += 1.0 / (1.0 + (mx - mn))
-        cur[mn_i] += 1
-        if cur[mn_i] >= len(lists[mn_i]):
+        if not advance(mn_i):
             return freq
 
 
@@ -501,10 +532,6 @@ def phrase_scored(reader, phrase_text: str, slop: int = 0) -> DataFrame:
     seq = analyze(phrase_text)
     if not seq:
         return reader.spark.createDataFrame([], TOPK_DDL)
-    if slop and len(set(seq)) < len(seq):
-        raise UnsupportedQueryFeature(
-            f"sloppy phrase with repeated terms: {phrase_text!r}~{slop}"
-        )
     uniq = sorted(set(seq))
     live, idf_by_term = _live_terms(reader, uniq)
     if len(live) < len(uniq):

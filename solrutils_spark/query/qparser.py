@@ -8,7 +8,7 @@ of that syntax and executes it against the engine with DataFrame algebra:
 
   query       ::=  node (connector? node)*
   node        ::=  [+|-|NOT|!] ( group | clause )
-  group       ::=  '(' query ')' [^boost]
+  group       ::=  [field ':'] '(' query ')' [^boost]
   clause      ::=  [field ':'] atom [~edits] [^boost]
   atom        ::=  '"' words '"'  |  range  |  word-with-*-or-?  |  word
   range       ::=  ('['|'{') lo TO hi (']'|'}')
@@ -42,12 +42,13 @@ precedence corners):
 
 Proximity phrases ``"a b"~N`` run the minimal-window sloppy sweep over the
 candidate-verify re-analysis (Lucene slop semantics: moves budget, a
-transposition costs 2, sloppyFreq = 1/(1+matchLength); see
-``boolean._sloppy_freq``); sloppy phrases with REPEATED terms are loudly
-gated. Other unsupported constructs fail LOUDLY
-(``UnsupportedQuerySyntax``): ``field:(...)`` grouping, fuzzy on metadata
-fields, and unknown field names — the same honest-gate contract as
-sources/minixslt.py.
+transposition costs 2, sloppyFreq = 1/(1+matchLength); REPEATED terms
+hold distinct token positions in phrase order — see
+``boolean._sloppy_freq``). ``field:(...)`` grouping scopes every bare
+atom inside to the field (round 5; an explicit inner ``other:`` prefix
+re-scopes, as Lucene does). Unsupported constructs fail LOUDLY
+(``UnsupportedQuerySyntax``): fuzzy on metadata fields and unknown field
+names — the same honest-gate contract as sources/minixslt.py.
 
 Execution is pure DataFrame algebra over per-clause retrievals — each text
 clause is an indexed posting read (bounded by its df), each metadata clause
@@ -136,13 +137,17 @@ def _unescape(s: str) -> str:
 def parse_query(q: str) -> list:
     """Parse a Lucene-subset query string into a boolean tree (a flat list
     of :class:`Clause` / :class:`Group` nodes at the top level)."""
-    nodes, pos = _parse_nodes(q, 0, depth=0)
+    nodes, pos = _parse_nodes(q, 0, depth=0, field_ctx="")
     if pos != len(q):
         raise UnsupportedQuerySyntax(f"unbalanced ')' at: {q[pos:]!r}")
     return nodes
 
 
-def _parse_nodes(q: str, pos: int, depth: int) -> tuple[list, int]:
+def _parse_nodes(q: str, pos: int, depth: int,
+                 field_ctx: str = "") -> tuple[list, int]:
+    """``field_ctx``: the enclosing ``field:(...)`` scope — bare atoms
+    inside it parse as clauses on that field (Lucene field grouping);
+    an explicit inner ``other:`` prefix re-scopes, as Lucene does."""
     nodes: list = []
     pending_occur: str | None = None
     pending_and = False
@@ -178,7 +183,7 @@ def _parse_nodes(q: str, pos: int, depth: int) -> tuple[list, int]:
             pos += 1
             continue
         if ch == "(":
-            children, pos = _parse_nodes(q, pos + 1, depth + 1)
+            children, pos = _parse_nodes(q, pos + 1, depth + 1, field_ctx)
             if pos >= len(q) or q[pos] != ")":
                 raise UnsupportedQuerySyntax(f"unclosed '(' in: {q!r}")
             pos += 1
@@ -212,10 +217,21 @@ def _parse_nodes(q: str, pos: int, depth: int) -> tuple[list, int]:
             fname = fm.group(1)
             pos = fm.end()
             if pos < len(q) and q[pos] == "(":
-                raise UnsupportedQuerySyntax(
-                    f"field-scoped groups not supported: {fname}:(...)"
-                )
-        cl, pos = _parse_atom(q, pos, fname)
+                # field grouping: every bare atom inside scopes to fname
+                children, pos = _parse_nodes(q, pos + 1, depth + 1, fname)
+                if pos >= len(q) or q[pos] != ")":
+                    raise UnsupportedQuerySyntax(f"unclosed '(' in: {q!r}")
+                pos += 1
+                g = Group(children=children)
+                bm = _BOOST_RE.match(q, pos)
+                if bm:
+                    g.boost = float(bm.group(1))
+                    pos = bm.end()
+                if not children:
+                    raise UnsupportedQuerySyntax(f"empty group in: {q!r}")
+                attach(g)
+                continue
+        cl, pos = _parse_atom(q, pos, fname or field_ctx)
         attach(cl)
     if pending_occur is not None or pending_and or pending_prefix:
         raise UnsupportedQuerySyntax(f"dangling connector: {q!r}")

@@ -286,11 +286,81 @@ def test_sloppy_subsumes_exact(reader, oracle):
         assert a == b
 
 
-def test_sloppy_repeated_terms_gate(reader):
-    from solrutils_spark.query.boolean import UnsupportedQueryFeature
+def test_sloppy_repeated_terms():
+    """Round-5 (was a loud gate): sloppy phrases with REPEATED terms.
+    Same-term phrase slots must claim DISTINCT token positions in phrase
+    order — "a a"~2 must NOT match a doc with a single ``a``. Hand cases
+    plus a seeded fuzz sweep asserting (1) engine == oracle (independent
+    formulations of the defined semantics) and (2) match EXISTENCE equals
+    a brute-force search over injective, order-respecting assignments."""
+    from itertools import product as _product
 
-    with pytest.raises(UnsupportedQueryFeature):
-        reader.phrase_search("posting posting", 10, slop=2).count()
+    from solrutils_spark.oracle.reference_bm25 import OracleIndex
+    from solrutils_spark.query.boolean import _sloppy_freq
+
+    # single 'a' cannot satisfy two slots
+    assert _sloppy_freq(["xx", "aa", "yy"], ["aa", "aa"], 2) == 0.0
+    # "a x a": one window, distinct positions, span 1
+    assert _sloppy_freq(["aa", "xx", "aa"], ["aa", "aa"], 2) == 0.5
+    assert _sloppy_freq(["aa", "xx", "aa"], ["aa", "aa"], 0) == 0.0
+    # adjacent repeat is an exact match (span 0)
+    assert _sloppy_freq(["aa", "aa"], ["aa", "aa"], 1) == 1.0
+    # "a ? b a" matches "a b a"~2 with adjusted span 1 (bb and the second
+    # aa both sit one move late): sloppyFreq = 1/(1+1)
+    assert _sloppy_freq(["aa", "zz", "bb", "aa"], ["aa", "bb", "aa"], 2) == 0.5
+    assert _sloppy_freq(["aa", "zz", "bb", "aa"], ["aa", "bb", "aa"], 0) == 0.0
+
+    def brute_exists(toks, seq, slop):
+        cand = [[p for p, t in enumerate(toks) if t == s] for s in seq]
+        if any(not c for c in cand):
+            return False
+        for combo in _product(*cand):
+            ok = all(
+                combo[i] != combo[j]
+                and (seq[i] != seq[j] or (combo[i] < combo[j]) == (i < j))
+                for i in range(len(seq)) for j in range(i)
+            )
+            if not ok:
+                continue
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    rng = np.random.default_rng(77)
+    alphabet = ["aa", "bb", "cc"]
+    seqs = [["aa", "aa"], ["aa", "aa", "aa"], ["aa", "bb", "aa"],
+            ["bb", "aa", "aa"], ["aa", "bb", "bb", "aa"]]
+    for draw in range(300):
+        toks = [alphabet[i] for i in rng.integers(0, 3, rng.integers(2, 11))]
+        seq = seqs[int(rng.integers(0, len(seqs)))]
+        slop = int(rng.integers(0, 5))
+        f_engine = _sloppy_freq(toks, seq, slop)
+        f_oracle = OracleIndex._sloppy_pf(toks, seq, slop)
+        assert f_engine == pytest.approx(f_oracle), (toks, seq, slop)
+        assert (f_engine > 0) == brute_exists(toks, seq, slop), \
+            (toks, seq, slop, f_engine)
+
+
+def test_sloppy_repeated_terms_end_to_end(reader, oracle):
+    """The repeated-term sloppy path through the full candidate-verify
+    phrase search agrees with the exhaustive oracle."""
+    # build a phrase from a doc that actually repeats a term, if any
+    q = None
+    for doc_id in sorted(oracle.tokens):
+        toks = oracle.tokens[doc_id]
+        for i in range(len(toks) - 2):
+            if toks[i] == toks[i + 2] and toks[i] != toks[i + 1]:
+                q = f"{toks[i]} {toks[i + 2]}"
+                break
+        if q:
+            break
+    if q is None:
+        q = "posting posting"
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in reader.phrase_search(q, 10, slop=2).collect()]
+    want = [(d, round(s, 9)) for d, s in oracle.search_phrase(q, 10, slop=2)]
+    assert got == want, q
 
 
 # -------------------------------------------- prefix / wildcard / fuzzy ----

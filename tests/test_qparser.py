@@ -95,10 +95,39 @@ def test_parse_phrase_wildcard_fuzzy_boost():
 
 def test_parse_unsupported_is_loud():
     for bad in ["title:foo", "[1 TO 5]", "a AND", "(a AND b",
-                "a) b", "lang:(a b)", "lang:fuzz~1", 'lang:"a b"',
-                "content:[a TO b]", "()"]:
+                "a) b", "lang:()", "lang:fuzz~1", 'lang:"a b"',
+                "content:[a TO b]", "()", "lang:(title:x)"]:
         with pytest.raises(UnsupportedQuerySyntax):
             parse_query(bad)
+
+
+def test_parse_field_groups():
+    """Round-5 (was a loud gate): ``field:(...)`` scopes every bare atom
+    inside to the field; explicit inner prefixes re-scope; boosts apply to
+    the group; connectors behave as in any group."""
+    nodes = parse_query("lang:(py AND rs)")
+    g = nodes[0]
+    assert isinstance(g, Group)
+    assert [(c.kind, c.field_name, c.text, c.occur) for c in g.children] == [
+        ("field_term", "lang", "py", MUST), ("field_term", "lang", "rs", MUST)]
+
+    nodes = parse_query("repo:(org1 org2)^2 +parse")
+    assert nodes[0].boost == 2.0
+    assert all(c.field_name == "repo" for c in nodes[0].children)
+    assert nodes[1].occur == MUST
+
+    # explicit inner field re-scopes; content group = plain text clauses
+    nodes = parse_query("lang:(py OR path:src*) content:(foo bar)")
+    inner = nodes[0].children
+    assert (inner[0].field_name, inner[1].kind, inner[1].field_name) == \
+        ("lang", "field_wildcard", "path")
+    assert [c.kind for c in nodes[1].children] == ["term", "term"]
+
+    # nested plain parens inside a field group keep the scope
+    nodes = parse_query("lang:((py go) AND rs)")
+    sub = nodes[0].children[0]
+    assert all(c.field_name == "lang" for c in sub.children)
+    assert nodes[0].children[1].field_name == "lang"
 
 
 def test_parse_groups():
@@ -305,6 +334,17 @@ BOOL_QUERIES = [
     '"posting segment"~2',
     '"segment posting"~2 OR vbyte',
     '+"posting lucene"~4 -wand',
+    # field groups (round 5: was a loud gate)
+    "lang:(py go) AND posting",
+    "lang:(py OR go OR rs) posting",
+    "+repo:(org1 org2) segment",
+    "lang:(py AND go) posting",
+    "path:(src* pkg*) AND posting",
+    "lang:(py doc_id:[10 TO 80]) posting",
+    "content:(posting segment) lang:rs",
+    "lang:(py go)^3 OR posting",
+    # sloppy phrases with repeated terms (round 5: was a loud gate)
+    '"posting posting"~3 OR segment',
 ]
 
 
