@@ -669,6 +669,38 @@ def q_range_query(spark, sf_dir):
     return _ranked(scored)
 
 
+def q_field_group(spark, sf_dir):
+    """Field-group twin (query/qparser.py field_ctx execution, round 5,
+    pinned engine-side by tests/test_qparser.py::test_parse_field_groups +
+    8 oracle-parity queries): ``lang:(en de) AND customer``. The group is
+    a MUST sub-BooleanQuery of two SHOULD keyword clauses — lang is
+    single-valued so exactly one contributes its per-value constant
+    idf(df_v)/(1+k1); the text MUST term adds normal BM25. Domain =
+    lang ∈ {en, de} ∧ contains 'customer'."""
+    toks_df, n, avgdl = _toks_stats(spark, sf_dir)
+    idf_c, _ = _idf_of(spark, sf_dir, toks_df, n, "customer")
+    import math as _math
+
+    fs = {}
+    for v in ("en", "de"):
+        df_v = toks_df.filter(F.col("lang") == v).count()
+        fs[v] = _math.log(1.0 + (n - df_v + 0.5) / (df_v + 0.5)) / (1.0 + BM25_K1)
+    t = F.col("toks")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(t) / F.lit(avgdl)
+    )
+    tf_c = F.size(F.filter(t, lambda x: x == "customer"))
+    group = F.when(F.col("lang") == "en", F.lit(fs["en"])).otherwise(F.lit(fs["de"]))
+    scored = (
+        toks_df.filter(F.col("lang").isin("en", "de") & (tf_c > 0))
+        .select(
+            "doc_id",
+            F.round(group + F.lit(idf_c) * tf_c / (tf_c + norm), 6).alias("score"),
+        )
+    )
+    return _ranked(scored)
+
+
 def q_grouped_boolean(spark, sf_dir):
     """Grouping twin (query/qparser.py Group execution): ``(customer OR
     supplier) AND -window`` — the group is a MUST sub-BooleanQuery whose
@@ -980,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_query": q_field_query,
         "range_query": q_range_query,
         "grouped_boolean": q_grouped_boolean,
+        "field_group": q_field_group,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1219,6 +1252,42 @@ def oracle_sql() -> dict[str, str]:
                      6) AS score
               FROM toks t, stats s
               WHERE t.lang = 'en' AND list_contains(t.toks, 'customer')
+            ), ranked AS (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, round(score, 4) AS score, rank
+            FROM ranked WHERE rank <= {BM25_K}
+        """,
+        "field_group": f"""
+            -- lang:(en de) AND customer : field-group of keyword-field BM25
+            -- constants + text-term BM25 (q_field_group)
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> length(t) >= 2) AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+                     sum(CASE WHEN list_contains(toks, 'customer') THEN 1 ELSE 0 END) AS dfc,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS dfen,
+                     sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS dfde
+              FROM toks
+            ), scored AS (
+              SELECT t.doc_id,
+                     round(
+                       CASE WHEN t.lang = 'en'
+                            THEN ln(1.0 + (s.n - s.dfen + 0.5) / (s.dfen + 0.5))
+                            ELSE ln(1.0 + (s.n - s.dfde + 0.5) / (s.dfde + 0.5))
+                       END / (1.0 + {BM25_K1})
+                       + ln(1.0 + (s.n - s.dfc + 0.5) / (s.dfc + 0.5))
+                         * len(list_filter(t.toks, x -> x = 'customer'))
+                         / (len(list_filter(t.toks, x -> x = 'customer'))
+                            + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * len(t.toks) / s.avgdl)),
+                     6) AS score
+              FROM toks t, stats s
+              WHERE t.lang IN ('en', 'de') AND list_contains(t.toks, 'customer')
             ), ranked AS (
               SELECT doc_id, score,
                      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
