@@ -6,7 +6,11 @@ The reference is batch-only; its nearest streaming analogs are mapped here:
   new segments through the SAME lineage-tracked segment builder (append
   semantics, no watermark needed — each micro-batch is a doc_id range),
 - query-log analytics (S7/A9) → streaming ``groupBy(window(ts)).count()``
-  with a watermark for late log lines.
+  with a watermark for late log lines,
+- unique-key ingest dedup (E9 / dedup.py exact stage) →
+  ``dropDuplicatesWithinWatermark`` over sha256(text) with bounded state
+  (round 5; the dedup stack's stateless Arrow signature kernel
+  (mapInPandas) applies to readStream unchanged — pinned by test).
 
 Both run on the engine's existing batch operators — Structured Streaming's
 incrementalization does the rest (micro-batch = one lineage'd segment build).
@@ -220,3 +224,26 @@ def streaming_query_stats(log_stream: DataFrame, window: str = "1 day",
         )
         .select(F.col("w.start").alias("window_start"), "q", "count", "zero_count")
     )
+
+
+def streaming_exact_dedup(docs: DataFrame, watermark: str = "1 hour",
+                          ts_col: str = "ts",
+                          text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``operators/dedup.py::exact_dedup`` for an ingest
+    pipeline: identity = ``sha256(text)``, statefulness = Spark's
+    ``dropDuplicatesWithinWatermark`` (first arrival wins; duplicates
+    arriving within the watermark window are dropped).
+
+    Scale shape: the state store holds ONE watermark-window of 32-byte
+    hashes — not the corpus — so state is bounded by ingest rate × window
+    regardless of total data volume. The corollary is honest and
+    documented: a duplicate re-arriving AFTER its original's window has
+    been evicted is admitted as new (pinned by test); exact corpus-wide
+    dedup remains the batch operator's job (one hash-groupBy over the
+    accumulated table), and the streaming stage exists to cheaply strip
+    the near-in-time duplicates (retries, crawler refetches, fan-in races)
+    before they inflate downstream state.
+    """
+    hashed = docs.withColumn("sha256", F.sha2(F.col(text_col), 256))
+    return (hashed.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(["sha256"]))

@@ -161,3 +161,84 @@ def test_incremental_redelivery_after_partial_crash(spark, tmp_path):
         for r in spark.read.parquet(one_dir + "/index").collect()
     )
     assert a == b
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Round-5: dropDuplicatesWithinWatermark over sha256(text) — dups
+    within a batch and across batches (inside the watermark window) drop;
+    a re-arrival AFTER the original's state evicted is admitted as new
+    (bounded-state semantics, documented in the docstring)."""
+    from solrutils_spark.streaming.incremental import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # p1: A twice in one batch + B; p2: A again 5 min later (state alive);
+    # p3: far-future C advances the watermark past A's window; p4: another
+    # trigger under the advanced watermark (state eviction runs as part of
+    # batch processing — the evicting trigger itself still sees old state);
+    # p5: A again — state evicted, admitted as new
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"ts": "2024-01-01T10:00:00", "text": "doc A"},
+        {"ts": "2024-01-01T10:01:00", "text": "doc A"},
+        {"ts": "2024-01-01T10:02:00", "text": "doc B"},
+    ]))
+    (src / "p2.json").write_text(json.dumps(
+        {"ts": "2024-01-01T10:05:00", "text": "doc A"}))
+    (src / "p3.json").write_text(json.dumps(
+        {"ts": "2024-01-04T10:00:00", "text": "doc C"}))
+    (src / "p4.json").write_text(json.dumps(
+        {"ts": "2024-01-04T11:00:00", "text": "doc D"}))
+    (src / "p5.json").write_text(json.dumps(
+        {"ts": "2024-01-05T10:00:00", "text": "doc A"}))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduped = streaming_exact_dedup(stream, watermark="1 hour")
+    query = (
+        deduped.writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(180)
+    rows = spark.sql("select text, ts from sdedup").collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(str(r["ts"]))
+    assert sorted(by_text["doc A"]) == [
+        "2024-01-01 10:00:00", "2024-01-05 10:00:00"]  # first + post-evict
+    assert len(by_text["doc B"]) == 1 and len(by_text["doc C"]) == 1
+
+
+def test_streaming_minhash_signatures_stateless(spark, tmp_path):
+    """The dedup stack's Arrow signature kernel (mapInPandas, per-row) is
+    stateless and applies to readStream unchanged — streamed signatures
+    equal the batch operator's on the same rows. (The all-JVM variant
+    explodes + aggregates per doc, so on a stream it would need a
+    watermarked aggregation — the batch path remains its home.)"""
+    from solrutils_spark.operators.dedup import minhash_signatures
+
+    src = tmp_path / "sig_src"
+    src.mkdir()
+    rows = [{"doc_id": i, "text": f"alpha beta gamma delta epsilon doc {i}"}
+            for i in range(6)]
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    sigs = minhash_signatures(stream, num_perm=16, shingle_k=3)
+    query = (
+        sigs.writeStream.format("memory").queryName("ssigs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(120)
+    got = {r["doc_id"]: list(r["signature"])
+           for r in spark.sql("select * from ssigs").collect()}
+    batch_df = spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows],
+                                     "doc_id long, text string")
+    want = {r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(batch_df, num_perm=16,
+                                        shingle_k=3).collect()}
+    assert got == want
