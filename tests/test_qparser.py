@@ -375,3 +375,18 @@ def test_boolean_or_equals_search(reader):
 
 def test_must_absent_term_matches_nothing(reader):
     assert execute_boolean(reader, "+zzzabsent posting", 10).count() == 0
+
+
+def test_field_clause_pushdown_plan(reader):
+    """Scale pin: a metadata clause's domain is a pushed-down parquet scan —
+    the filter reaches the source (PushedFilters) and the scan reads only
+    the filter column + doc_id (column pruning), never content bytes."""
+    from solrutils_spark.query.qparser import Clause, _field_docs
+
+    dom = _field_docs(
+        reader, Clause(kind="field_term", text="py", field_name="lang"))
+    plan = dom._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "lang" in read_schema, read_schema
+    assert "content" not in read_schema, read_schema
