@@ -390,3 +390,30 @@ def test_field_clause_pushdown_plan(reader):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "lang" in read_schema, read_schema
     assert "content" not in read_schema, read_schema
+
+
+def test_parser_robustness_fuzz():
+    """The parser must either parse or raise UnsupportedQuerySyntax — never
+    leak an IndexError/AttributeError/RecursionError on arbitrary input.
+    Seeded sweep over grammar-ish random strings plus byte noise."""
+    import random
+
+    rng = random.Random(4242)
+    pieces = ["posting", "seg*", "fu~1", '"a b"', '"a b"~2', "(", ")",
+              "AND", "OR", "NOT", "+", "-", "!", "lang:py", "lang:(",
+              "repo:(x y)", "doc_id:[1 TO 9]", "path:{a TO *}", "^2",
+              "~", ":", "content:", '"', "\\", "[", "]", "{", "}", "TO"]
+    parsed = raised = 0
+    for _ in range(400):
+        n = rng.randint(1, 8)
+        q = " ".join(rng.choice(pieces) for _ in range(n))
+        if rng.random() < 0.3:
+            q = q.replace(" ", "", 1)  # glue two pieces together
+        try:
+            nodes = parse_query(q)
+            parsed += 1
+            assert isinstance(nodes, list)
+        except UnsupportedQuerySyntax:
+            raised += 1
+    # the generator must exercise BOTH outcomes meaningfully
+    assert parsed > 50 and raised > 50, (parsed, raised)
