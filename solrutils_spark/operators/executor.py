@@ -9,8 +9,11 @@ the response dict, then runs the response-handler chain
 Param interpretation:
 
 - ``q``        query TEXT for BM25 (IndexReader path) — '*:*'/absent = match-all
-- ``fq``*      Spark SQL boolean expressions over the collection's columns;
-               non-scoring (P2), ANDed, pushed down by Catalyst
+- ``fq``*      Spark SQL boolean expressions over the collection's columns
+               (pushed down by Catalyst); when SQL rejects the string and
+               it carries Lucene operator syntax, the boolean executor
+               supplies the match domain instead — incl. text-term filters
+               through the index (round 5). Non-scoring (P2), ANDed.
 - ``sort``     'field dir[, field dir]' → orderBy (T1); default = relevance
 - ``rows``/``start``  top-k + offset paging (T3)
 - ``fl``       projection (P4) — column pruning
@@ -198,8 +201,40 @@ class PlanExecutor:
     def _filtered_domain(self, plan: QueryPlan) -> DataFrame:
         df = self.collection
         for fq in plan.get_params("fq") or []:
-            df = df.filter(F.expr(fq))
+            df = self._apply_fq(df, fq)
         return df
+
+    def _apply_fq(self, df: DataFrame, fq: str) -> DataFrame:
+        """One fq body. Spark-SQL boolean expressions keep first claim on
+        the string (the established template style — and SQL analysis is
+        eager, so a mismatch is known immediately, never a silent
+        misfilter); when SQL REJECTS it and the string carries Lucene
+        operator syntax, it runs through the boolean executor as a match
+        DOMAIN over the index — FilterQuery.java:11-64 renders the same
+        template syntax into fq as into q, including text-term filters
+        like ``content:posting AND lang:py``. Filters restrict, they
+        NEVER score. A Lucene-marker string neither engine accepts
+        re-raises the SQL error plus the parser's — loud, per contract."""
+        from solrutils_spark.query.qparser import (
+            boolean_scored,
+            is_lucene_syntax,
+        )
+
+        try:
+            return df.filter(F.expr(fq))
+        except Exception:
+            # not only AnalysisException/ParseException: Spark 4 reads
+            # ``lang:py`` as VARIANT path syntax and rejects it with a
+            # wrapped SparkException — any eager-analysis rejection means
+            # "not SQL over this schema", and the Lucene attempt below
+            # happens only BECAUSE SQL raised (never a silent reroute)
+            if self.reader is None or not is_lucene_syntax(fq):
+                raise
+        scored = boolean_scored(self.reader, fq)  # loud on unsupported
+        if scored is None:
+            return df.filter(F.lit(False))  # no positive clause matches
+        ids = scored.select(F.col("doc_id").alias(self.id_column))
+        return df.join(ids, self.id_column, "left_semi")
 
     def _cached_filter_ids(self, plan: QueryPlan) -> DataFrame:
         """Persisted doc_id domain for the plan's fq set (filterCache twin).

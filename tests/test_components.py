@@ -1443,3 +1443,41 @@ def test_xslt_namespace_gates():
     </xsl:stylesheet>"""
     with pytest.raises(UnsupportedXsltError, match="two URIs"):
         MiniXSLT(main, resolver=lambda href: other)
+
+
+def test_lucene_syntax_fq(engine):
+    """Round-5: fq bodies may render Lucene operator syntax — the reference
+    renders the SAME templates into fq as into q (FilterQuery.java:11-64).
+    SQL keeps first claim on the string (eager analysis, no silent
+    misfilter); when SQL rejects it, the boolean executor supplies the
+    match domain, including text-term filters through the index."""
+    import pytest as _pytest
+
+    from solrutils_spark.plans.model import SearchModel
+
+    model = SearchModel({
+        "query": {"op": "q", "body": "${value}"},
+        "raw_fq": {"op": "fq", "filters": {"raw": {"body": "${value}"}}},
+        "rows": {"op": "set", "name": "rows", "body": "${value:int}"},
+    })
+
+    def ids(fq):
+        rsp = engine.search(model, {"query": "posting", "rows": 10_000.0,
+                                    "raw_fq": {"raw": fq}})
+        return sorted(d["doc_id"] for d in rsp["response"]["docs"])
+
+    # Lucene metadata fq == its SQL twin (SQL body keeps working unchanged)
+    assert ids("lang:py") == ids("lang = 'py'")
+    assert ids("lang:py OR lang:go") == ids("lang IN ('py', 'go')")
+    # text-term fq filters through the INDEX (not expressible as plain SQL
+    # over the metadata columns): equals the engine's distributed filter_df
+    got = ids("content:segment AND lang:py")
+    want_dom = {r["doc_id"] for r in
+                engine.reader.matching_docs("segment").collect()}
+    sql_py = set(ids("lang = 'py'"))
+    assert got and set(got) == {d for d in sql_py if d in want_dom}
+    # a marker-free string SQL rejects is loud (the SQL error propagates
+    # untouched — the Lucene attempt only engages on Lucene operator syntax)
+    with _pytest.raises(Exception):
+        engine.search(model, {"query": "posting", "rows": 5.0,
+                              "raw_fq": {"raw": "nonexistent_column = 1"}})
