@@ -288,7 +288,9 @@ class PlanExecutor:
                 mincount=int(plan.get_param("facet.mincount", "0")),
             )
             facet_fields[res["key"]] = res["counts"]
-        facet_queries = query_facets(domain, plan.get_params("facet.query") or [])
+        facet_queries = query_facets(domain, plan.get_params("facet.query") or [],
+                                     reader=self.reader,
+                                     id_column=self.id_column)
         facet_ranges: dict = {}
         for spec in plan.get_params("facet.range") or []:
             field = spec.split("}", 1)[1] if spec.startswith("{!") else spec
@@ -305,4 +307,5 @@ class PlanExecutor:
             }
         jf = parse_json_facet(plan)
         if jf:
-            response["facets"] = json_facet(domain, jf)
+            response["facets"] = json_facet(domain, jf, reader=self.reader,
+                                            id_column=self.id_column)

@@ -48,16 +48,60 @@ def field_facet(domain: DataFrame, spec: str, limit: int = 100, mincount: int = 
     return {"key": key, "counts": {r[field]: r["count"] for r in rows}}
 
 
-def query_facets(domain: DataFrame, specs: list[str]) -> dict[str, int]:
-    """All facet.query entries in ONE aggregation pass (conditional counts)."""
+def _query_domain(domain: DataFrame, q: str, reader, id_column: str) -> DataFrame:
+    """Domain restricted by a facet/filter query body: Spark SQL keeps
+    first claim (eager analysis — a mismatch raises, never misfilters);
+    when SQL rejects the string and it carries Lucene operator syntax,
+    the boolean executor supplies the match domain (same contract as
+    PlanExecutor._apply_fq — Solr facet.query bodies ARE Lucene queries)."""
+    try:
+        return domain.filter(F.expr(q))
+    except Exception:
+        from solrutils_spark.query.qparser import boolean_scored, is_lucene_syntax
+
+        if reader is None or not is_lucene_syntax(q):
+            raise
+    scored = boolean_scored(reader, q)
+    if scored is None:
+        return domain.filter(F.lit(False))
+    ids = scored.select(F.col("doc_id").alias(id_column))
+    return domain.join(ids, id_column, "left_semi")
+
+
+def query_facets(domain: DataFrame, specs: list[str], reader=None,
+                 id_column: str = "doc_id") -> dict[str, int]:
+    """All facet.query entries — SQL-expressible specs count in ONE
+    aggregation pass (conditional counts); Lucene-syntax specs (round 5)
+    each count a boolean-executor match domain."""
     if not specs:
         return {}
-    aggs = [
-        F.sum(F.when(F.expr(_strip_key(s)), 1).otherwise(0)).alias(f"q{i}")
-        for i, s in enumerate(specs)
-    ]
-    row = domain.agg(*aggs).collect()[0]
-    return {Facets.extract_key(s): int(row[f"q{i}"] or 0) for i, s in enumerate(specs)}
+    sql_specs: list[tuple[int, str, str]] = []
+    lucene_specs: list[tuple[int, str, str]] = []
+    for i, s in enumerate(specs):
+        body = _strip_key(s)
+        try:
+            domain.filter(F.expr(body))  # eager analysis probe — no job
+            sql_specs.append((i, s, body))
+        except Exception:
+            from solrutils_spark.query.qparser import is_lucene_syntax
+
+            if reader is None or not is_lucene_syntax(body):
+                raise
+            lucene_specs.append((i, s, body))
+    out: dict[str, int] = {}
+    if sql_specs:
+        aggs = [
+            F.sum(F.when(F.expr(b), 1).otherwise(0)).alias(f"q{i}")
+            for i, _, b in sql_specs
+        ]
+        row = domain.agg(*aggs).collect()[0]
+        for i, s, _ in sql_specs:
+            out[Facets.extract_key(s)] = int(row[f"q{i}"] or 0)
+    for _, s, b in lucene_specs:
+        out[Facets.extract_key(s)] = _query_domain(
+            domain, b, reader, id_column).count()
+    # response keys in original spec order (Solr echoes request order)
+    return {Facets.extract_key(s): out[Facets.extract_key(s)] for s in specs}
 
 
 def range_facet(
@@ -91,7 +135,8 @@ def _stat_expr(spec: str, alias: str):
     return getattr(F, fn)(col).alias(alias)
 
 
-def json_facet(domain: DataFrame, spec: dict) -> dict:
+def json_facet(domain: DataFrame, spec: dict, reader=None,
+               id_column: str = "doc_id") -> dict:
     """A5 — JSON Facet API subset: terms/query buckets, stats, one nest level."""
     out: dict = {"count": domain.count()}
     for key, sub in spec.items():
@@ -100,9 +145,10 @@ def json_facet(domain: DataFrame, spec: dict) -> dict:
         elif sub.get("type") == "terms":
             out[key] = _terms_facet(domain, sub)
         elif sub.get("type") == "query":
-            qdomain = domain.filter(F.expr(sub["q"]))
+            qdomain = _query_domain(domain, sub["q"], reader, id_column)
             inner = {k: v for k, v in sub.items() if k not in ("type", "q")}
-            sub_res = json_facet(qdomain, inner.get("facet", {}))
+            sub_res = json_facet(qdomain, inner.get("facet", {}), reader,
+                                 id_column)
             sub_res["count"] = qdomain.count()
             out[key] = sub_res
         elif sub.get("type") == "range":

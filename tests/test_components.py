@@ -1481,3 +1481,35 @@ def test_lucene_syntax_fq(engine):
     with _pytest.raises(Exception):
         engine.search(model, {"query": "posting", "rows": 5.0,
                               "raw_fq": {"raw": "nonexistent_column = 1"}})
+
+
+def test_lucene_syntax_facet_query(engine):
+    """Round-5: facet.query and json.facet query bodies are Lucene queries
+    in Solr — SQL-expressible specs keep the one-pass conditional-count
+    path; Lucene-syntax specs count a boolean-executor match domain."""
+    from solrutils_spark.operators.facets import json_facet, query_facets
+
+    domain = engine.collection
+    got = query_facets(
+        domain,
+        ["{!key=py}lang = 'py'",            # SQL (one-pass agg)
+         "{!key=seg}content:segment AND lang:py",  # Lucene via the index
+         "{!key=either}lang:py OR lang:go"],
+        reader=engine.reader,
+    )
+    n_py = domain.filter("lang = 'py'").count()
+    seg_ids = {r["doc_id"] for r in
+               engine.reader.matching_docs("segment").collect()}
+    n_seg_py = domain.filter("lang = 'py'").filter(
+        F.col("doc_id").isin(list(seg_ids))).count()
+    n_either = domain.filter("lang in ('py','go')").count()
+    assert got == {"py": n_py, "seg": n_seg_py, "either": n_either}
+    assert list(got) == ["py", "seg", "either"]  # request order echoed
+
+    jf = json_facet(
+        domain,
+        {"seg_docs": {"type": "query", "q": "content:segment AND lang:py",
+                      "facet": {"n": "count(doc_id)"}}},
+        reader=engine.reader,
+    )
+    assert jf["seg_docs"]["count"] == n_seg_py
