@@ -583,9 +583,9 @@ def test_one_domain_decode_per_request(engine, monkeypatch):
         facet_domain_cached.append(domain.storageLevel.useMemory)
         return orig_field_facet(domain, spec, **kw)
 
-    def spy_query_facets(domain, specs):
+    def spy_query_facets(domain, specs, **kw):
         facet_domain_cached.append(domain.storageLevel.useMemory)
-        return orig_query_facets(domain, specs)
+        return orig_query_facets(domain, specs, **kw)
 
     monkeypatch.setattr(ex_mod, "field_facet", spy_field_facet)
     monkeypatch.setattr(ex_mod, "query_facets", spy_query_facets)
