@@ -253,25 +253,33 @@ def minhash_signatures_jvm(
     recall, and both are deterministic.
     """
     # same shingle rule as _shingles(): <k tokens → one joined shingle; empty → none
-    # Tokens are materialized in their own projection (_with_shingle_arr) —
-    # the dominant cost of the 790 s/900k-doc round-4 signature stage was the
-    # inline shingle expression re-running split() per shingle index
-    # (O(tokens²) interpreted eval), not the hashing.
-    # Each shingle STRING is hashed once; the num_perm permutation values are
-    # derived by re-hashing the resulting LONG with per-permutation seeds:
-    # 8-byte rehashes cost a small constant vs scanning a ~40-char string per
-    # permutation. Independence across seeds is exactly what LSH needs;
-    # values differ from the round-3 layout but signature semantics are
-    # unchanged (partition invariance + recall pinned by test_dedup_fuzz).
-    exploded = _with_shingle_arr(df, text_col, shingle_k, "_sh_arr").select(
-        id_col, F.explode_outer(F.col("_sh_arr")).alias("_sh")
-    ).select(
-        id_col,
-        # guard BEFORE hashing: xxhash64 silently maps NULL to the seed
-        F.when(F.col("_sh").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.xxhash64(F.col("_sh")))
-        .alias("_h0"),
+    # Tokens are materialized in their own projection — the dominant cost of
+    # the 790 s/900k-doc round-4 signature stage was the inline shingle
+    # expression re-running split() per shingle index (O(tokens²)
+    # interpreted eval), not the hashing.
+    # Round 6: the shingle is hashed DIRECTLY as a token-array slice —
+    # ``xxhash64(slice(toks, i+1, k))`` folds the k token strings through
+    # the seeded hash chain, so the per-shingle join into a new string
+    # (formerly ~30% of the signature stage: allocate + copy ~k·|token|
+    # bytes per shingle) is gone. Identical token sequences still produce
+    # identical hashes (what LSH recall relies on: signature equality is
+    # decided by token content, pinned by test_dedup_fuzz partition/recall
+    # suites); values differ from the string-hash layout — a hash-family
+    # change, same as round 5's seed-derivation change.
+    # The num_perm permutation values are derived by re-hashing the
+    # resulting LONG with per-permutation seeds: 8-byte rehashes cost a
+    # small constant vs re-scanning the shingle per permutation.
+    tdf = df.select(id_col, _tokens_col(text_col).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    # n ≥ k: shingles at offsets 0..n−k; 0 < n < k: slice truncates to the
+    # whole array → ONE shingle (same rule as _shingles()); n = 0: none.
+    hashes = F.when(n == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0))),
+            lambda i: F.xxhash64(F.slice(F.col("__toks"), i + 1, shingle_k)),
+        )
     )
+    exploded = tdf.select(id_col, F.explode_outer(hashes).alias("_h0"))
     sentinel = (1 << 63) - 1  # empty docs: all-sentinel signature
     aggs = [
         F.min(
@@ -301,9 +309,18 @@ def simhash_signatures_jvm(
     """
     t = F.col(text_col)
     toks = F.filter(F.split(t, _WS_RE), lambda x: F.length(x) > 0)
-    exploded = df.select(id_col, F.explode_outer(toks).alias("_tok"))
-    h = F.xxhash64(F.col("_tok"))
-    live = ~F.col("_tok").isNull()
+    # hash PROJECTED once per token before the aggregation: the 64 bit-vote
+    # agg expressions each reference the hash, and aggregate buffers don't
+    # share subexpressions — inlining xxhash64 there recomputes it 64× per
+    # token (measured at 50k docs/2.7M tokens: 5.4 s → 3.6 s projected)
+    exploded = df.select(id_col, F.explode_outer(toks).alias("_tok")).select(
+        id_col,
+        F.when(F.col("_tok").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64(F.col("_tok")))
+        .alias("_h"),
+    )
+    h = F.col("_h")
+    live = ~h.isNull()
     cnt = F.sum(F.when(live, 1).otherwise(0)).alias("_cnt")
     bit_aggs = [
         F.sum(
@@ -421,6 +438,18 @@ def minhash_dedup_pairs(
     if cache_registry is not None:
         cands = cands.persist()
         cache_registry.append(cands)
+    else:
+        # the verify stage references the candidate frame three times (two
+        # id-set union legs + the final pair join); without a cache the
+        # whole signature+LSH chain re-executes per reference (exchange
+        # reuse recovers only part of it — measured 11.1 s vs 8.9 s cached
+        # at 50k docs). localCheckpoint persists the bounded candidate
+        # pairs WITHOUT a session-lifetime CacheManager entry: the blocks
+        # are freed by the ContextCleaner once the result goes out of
+        # scope, so one-shot callers get the cache and long-lived sessions
+        # don't leak it (same rationale as assign_doc_ids' no-registry
+        # path).
+        cands = cands.localCheckpoint(eager=False)
     return verify_ngram_jaccard(
         cands, df, text_col, id_col, threshold, shingle_k, cache_registry
     )
