@@ -55,6 +55,14 @@ def _bm25_topk(
     (search/search_batch with filter_df) is rank-identity-pinned in pytest;
     this exact-DataFrame twin makes the semantics oracle-checkable."""
     docs = _t(spark, sf_dir, "documents")
+    # ONE tokenization per pass: the token array is materialized in its own
+    # projection (multiple downstream references keep CollapseProject from
+    # inlining the split — the same plan rule operators/dedup.py pins for
+    # shingles). Round 6 shape: stats (n, avgdl, per-term df) ride ONE agg
+    # over the token arrays, and per-term tf is a higher-order array count —
+    # the former explode-every-token → groupBy(doc_id, term) → join(dl)
+    # chain shuffled ~55 tokens/doc to score a 3-term query (2 exchanges +
+    # a re-tokenize for dl; 6.6 s → ~2 s at sf1.0).
     toks = docs.select(
         "doc_id",
         F.filter(
@@ -62,48 +70,47 @@ def _bm25_topk(
             lambda t: F.length(t) >= 2,
         ).alias("toks"),
     )
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    n_and_avg = dl.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    stats = toks.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size("toks")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int")).alias(f"df{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
     ).collect()[0]
-    n_docs, avgdl = int(n_and_avg["n"]), float(n_and_avg["avgdl"])
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # df = docs containing the term (== the former tf-row count per term).
+    # idf stays a JVM log expression over literals (constant-folded by the
+    # same java.lang.Math.log the per-row expression used — bit-identical).
+    t_col = F.col("toks")
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(t_col) / F.lit(avgdl)
+    )
+    def _tf(term):
+        # single-arg lambda (a 2-arg lambda would be read as (element, index))
+        return F.size(F.filter(t_col, lambda x: x == term))
 
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    tfs = [_tf(term) for term in BM25_QUERY_TERMS]
+    idfs = [
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.lit(int(stats[f"df{i}"])) + F.lit(0.5))
+            / (F.lit(int(stats[f"df{i}"])) + F.lit(0.5))
+        )
+        for i in range(len(BM25_QUERY_TERMS))
+    ]
+    # absent terms contribute exactly 0.0 (idf·0/(0+norm)); adding 0.0 leaves
+    # the double unchanged, so the fixed-order sum equals the former
+    # groupBy-sum of present-term contributions
+    contrib = tfs[0] * idfs[0] / (tfs[0] + norm)
+    for tf_c, idf_c in zip(tfs[1:], idfs[1:]):
+        contrib = contrib + tf_c * idf_c / (tf_c + norm)
+    domain = tfs[0] > 0
+    for tf_c in tfs[1:]:
+        domain = (domain & (tf_c > 0)) if require_all else (domain | (tf_c > 0))
+    scored = toks.filter(domain).select(
+        "doc_id", F.round(contrib, 6).alias("score")
     )
-    df_table = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_table), "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + F.lit(BM25_K1)
-                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 6).alias("score"),
-            F.count("*").alias("_nt"),
-        )
-    )
-    if require_all:  # q.op=AND: doc must contain EVERY query term
-        scored = scored.filter(F.col("_nt") == len(BM25_QUERY_TERMS))
-    scored = scored.drop("_nt")
     from pyspark.sql import Window
 
     if filter_mod is not None:  # fq AFTER scoring — stats untouched
