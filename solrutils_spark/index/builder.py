@@ -57,14 +57,17 @@ def build_index(
         for sub in ("segments", "lineage", "doclen"):
             shutil.rmtree(out / sub, ignore_errors=True)
 
+    sc = spark.sparkContext
     if not (resume and docs_path.exists()):
         caches: list = []
+        sc.setJobDescription("index_build: docs (dedup + dense ids)")
         docs = build_docs(corpus, cache_registry=caches)
         docs.write.mode("overwrite").parquet(str(docs_path))
         for c in caches:  # skinny-key cache is dead once docs.parquet exists
             c.unpersist()
     docs = spark.read.parquet(str(docs_path))
 
+    sc.setJobDescription("index_build: segments (tokenize + encode)")
     build_segments(docs, out_dir, segment_size=segment_size, resume=resume)
     # lineage is driver-local JSON — aggregate without any Spark job.
     # Tolerant parse (same rules as committed_segments): a torn lineage file
@@ -83,6 +86,7 @@ def build_index(
     n_segments = (max((int(r["segment_id"]) for r in lin_rows), default=-1)) + 1
 
     segments = read_segments(spark, out_dir)
+    sc.setJobDescription("index_build: merge + write index")
     index = merge_segments(
         segments, num_salts=num_salts, num_buckets=num_buckets, n_segments=n_segments
     )
@@ -90,17 +94,25 @@ def build_index(
 
     # term→df sidecar, bucket-partitioned: query-time df lookups become a
     # direct (pyarrow) read of ≤ |terms| bucket files instead of a Spark job —
-    # drops ~300ms of per-query scheduling floor (A10 broadcast-stats analog)
+    # drops ~300ms of per-query scheduling floor (A10 broadcast-stats analog).
+    # ONE exchange keyed by bucket alone: the groupBy's
+    # ClusteredDistribution([bucket, term]) is satisfied by the bucket
+    # partitioning (subset rule, same trick as the merge), and the output
+    # partitions are already bucket-aligned for the partitioned write —
+    # rounds 2-5 paid a (bucket, term) exchange PLUS a repartition(bucket).
+    sc.setJobDescription("index_build: termdf sidecar")
     idx = read_index(spark, out_dir)
     (
-        idx.groupBy("bucket", "term")
+        idx.select("bucket", "term", "df_part")
+        .repartition(num_buckets, "bucket")
+        .groupBy("bucket", "term")
         .agg(F.sum("df_part").alias("df"))
-        .repartition("bucket")
         .write.mode("overwrite")
         .option("compression", "snappy")  # serving-read artifact, like index
         .partitionBy("bucket")
         .parquet(str(out / "termdf"))
     )
+    sc.setJobDescription(None)
 
     stats = {
         "n_docs": n_docs,

@@ -92,8 +92,19 @@ def assign_doc_ids(
     from pyspark import StorageLevel
 
     bucket = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(P)).cast("int")
+    # ONE explicit exchange on _bkt, sized to the cluster (defaultParallelism
+    # scales with cores; partition count never affects the ids — they come
+    # from bucket counts + rank within bucket): both downstream consumers —
+    # the counts aggregation AND the rank window — cluster by _bkt, so
+    # HashPartitioning(_bkt) satisfies them and Catalyst elides their
+    # exchanges. Without this the cached keys sit at
+    # spark.sql.shuffle.partitions and BOTH stages re-shuffle at that width
+    # (event-log evidence at 20k docs/local[32]: three 128-task skinny-key
+    # stages, 0.6+0.4+5.5 s — all fixed task floor, no data).
+    n_parts = max(1, int(corpus.sparkSession.sparkContext.defaultParallelism))
+    tagged = corpus.withColumn("_bkt", bucket).repartition(n_parts, "_bkt")
     if cache_registry is not None:
-        tagged = corpus.withColumn("_bkt", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         cache_registry.append(tagged)
     else:
         # no unpersist hook for direct callers: an eager localCheckpoint
@@ -101,7 +112,7 @@ def assign_doc_ids(
         # unconditionally) WITHOUT a CacheManager entry that would outlive
         # the caller — the blocks are freed by the ContextCleaner once the
         # result goes out of scope, instead of leaking for the session
-        tagged = corpus.withColumn("_bkt", bucket).localCheckpoint(eager=True)
+        tagged = tagged.localCheckpoint(eager=True)
     counts = {
         r["_bkt"]: r["cnt"]
         for r in tagged.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()

@@ -131,10 +131,19 @@ def merge_segments(
     # (Round 2 shuffled the full index twice: groupBy(bucket,salt) + a
     # repartition(bucket) in the write — the merge phase scaled at 0.48
     # because the duplicated payload movement is disk-bandwidth-bound.)
-    # 4×B partitions: hashing B bucket values into exactly B partitions
-    # leaves ~e⁻¹ empty and doubles-up others; 4B keeps ~1 bucket per task.
+    # Partition count (round 6): hashing B bucket values into exactly B
+    # partitions leaves ~e⁻¹ empty and doubles-up others, so oversubscribe —
+    # but cap the oversubscription at ~2× the cluster's core count: every
+    # empty partition still launches a python-kernel task (~14 ms measured),
+    # and the flat 4B=256 of rounds 2-5 made the merge stage 3.6 s on a
+    # 2,000-doc index at local[32] (pure task floor). min(4B,
+    # max(B, 2·defaultParallelism)) keeps ≥1 partition per bucket, restores
+    # the full 4B spread as soon as cores ≫ buckets (a real cluster), and
+    # costs bench-scale builds only ~2 waves of collision-doubled tasks.
+    parallelism = segments.sparkSession.sparkContext.defaultParallelism
+    n_parts = min(4 * num_buckets, max(num_buckets, 2 * int(parallelism)))
     return (
-        salted.repartition(4 * num_buckets, "bucket")
+        salted.repartition(n_parts, "bucket")
         .groupBy("bucket", "salt")
         .applyInPandas(_merge_bucket_salt, schema=INDEX_DDL)
     )

@@ -138,16 +138,28 @@ class IndexReader:
         twin is a salt-bucketed index table kept resident on the serving
         executors.
 
-        ``num_partitions``: tuning knob for the cached partition count
-        (default: ``spark.sql.shuffle.partitions``, the engine's standing
-        4x-cores setting). A round-5 experiment defaulted this to one
-        partition per core hoping to cut the measured ~2.5 s/job batch
-        floor (fewer tasks + python-worker round-trips); measured at 1M
-        docs it did the OPPOSITE — the per-job shared slice decode spreads
-        over 64 salt groups, and 4x-cores small tasks let the scheduler
-        rebalance them while core-count fat tasks serialize ~8 salts behind
-        the slowest sibling (fixed cost 2.46 → 3.33 s, short batches −12%).
-        Keep several tasks per core here, exactly as on a real cluster.
+        ``num_partitions``: tuning knob for the cached partition count.
+        Default (round 6): ``min(4 · num_salts, spark.sql.shuffle.partitions)``
+        — the kernel stage can never have more than ``num_salts`` non-empty
+        groups, so partitions beyond a few × num_salts are pure empty-task
+        overhead (measured on the 8-salt bench index at local[32]:
+        128 cached partitions = 120 empty python-kernel tasks PER JOB;
+        13-query filtered loop 13.6 s → 6.9 s and batch 2.3 → 0.8 s at 32
+        partitions). The 4× oversubscription averages hash-collision
+        imbalance (hashing S salts into exactly S partitions doubles-up
+        ~1/e of them), and the shuffle-partitions cap keeps large-salt
+        indexes at the session's parallelism. A round-5 experiment
+        defaulted this to one partition per CORE (8, on a 64-salt index)
+        hoping to cut the ~2.5 s/job batch floor; measured at 1M docs it
+        did the OPPOSITE — core-count fat tasks serialize ~8 salts behind
+        the slowest sibling (fixed cost 2.46 → 3.33 s). The round-6
+        formula keeps that regime unchanged (min(256, 32) = 32) while
+        removing the empty-task overhead where salts ≪ shuffle
+        partitions. Note a filter side persisted at a DIFFERENT partition
+        count makes the cogroup re-exchange the pruned candidate rows
+        (bucket/term-filtered — MBs, not the index); measured net-positive
+        at both partitionings, but co-partition the filterCache with the
+        same count to elide it entirely.
 
         ``sort_for_pruning``: sort rows by ``(bucket, term)`` within each
         salt partition before caching, so InMemoryRelation's per-batch
@@ -161,10 +173,16 @@ class IndexReader:
         the scan is not the binding cost at this scale (the Python kernel
         stage and job floor are), so the default stays OFF. On a cluster
         with a much larger vocabulary (scan-bound), turn it on."""
-        if num_partitions is not None:
-            part = self.index.repartition(int(num_partitions), "salt")
-        else:
-            part = self.index.repartition("salt")
+        if num_partitions is None:
+            num_salts = int(self.stats.get("num_salts", 0))
+            shuffle_parts = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            num_partitions = (
+                min(4 * num_salts, shuffle_parts) if num_salts > 0
+                else shuffle_parts
+            )
+        part = self.index.repartition(int(num_partitions), "salt")
         if sort_for_pruning:
             part = part.sortWithinPartitions("bucket", "term")
         self.index = part.persist()
