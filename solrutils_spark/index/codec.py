@@ -523,6 +523,158 @@ def decode_blocks_many(
     return docs, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+# --------------------------------------------------------------------------
+# positional sidecar (round 6, VERDICT r5 #1) — an OPTIONAL third stream.
+#
+# Layout per term (mirrors the main payload's 128-posting block geometry)::
+#
+#     pos_payload      = concat over postings of vbyte(position_deltas)
+#     position_deltas  = absolute first position, then diffs (per posting —
+#                        every posting's stream is self-contained, so merging
+#                        segments is pure byte concatenation in posting order)
+#     pos_block_offset = int32[] byte offset of block i's first posting's
+#                        positions (same blocks as block_offset)
+#
+# The number of varints per posting equals its tf (already in the main
+# stream), so decode needs no extra counts. Phrase queries decode ONLY the
+# blocks their candidate set touches (same needed_block_runs certificate as
+# the conjunction kernel) instead of re-analyzing candidate documents.
+# --------------------------------------------------------------------------
+
+
+class EncodedPositions:
+    """Encoded position streams for T terms (struct-of-arrays)."""
+
+    __slots__ = ("payload", "term_byte_start", "term_byte_end",
+                 "block_offset", "blocks_per_term")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _position_layout(
+    byte_len_per_value: np.ndarray, tf_all: np.ndarray, term_counts: np.ndarray
+) -> EncodedPositions:
+    """Shared layout math: per-(term, block) byte offsets for a flat
+    positions stream whose posting p holds ``tf_all[p]`` varints of the
+    given byte lengths. Returns an :class:`EncodedPositions` with payload
+    left ``None`` (filled by the encoder / sliced by the merge)."""
+    P = int(tf_all.size)
+    T = int(term_counts.size)
+    term_starts = np.zeros(T, dtype=np.int64)
+    np.cumsum(term_counts[:-1], out=term_starts[1:])
+    pos_in_term = np.arange(P, dtype=np.int64) - np.repeat(term_starts, term_counts)
+    flags = (pos_in_term & (BLOCK - 1)) == 0
+    group_start_postings = np.flatnonzero(flags)  # posting idx of each block
+    # first VALUE index of each block = exclusive prefix of tf at its posting
+    val_start_per_posting = np.zeros(P, dtype=np.int64)
+    np.cumsum(tf_all[:-1], out=val_start_per_posting[1:])
+    group_val_starts = val_start_per_posting[group_start_postings]
+    byte_cum = np.cumsum(byte_len_per_value)
+    total_bytes = int(byte_cum[-1]) if byte_len_per_value.size else 0
+    # byte offset of each block = bytes before its first value
+    group_byte_offsets = np.where(
+        group_val_starts > 0, byte_cum[group_val_starts - 1], 0
+    )
+    blocks_per_term_counts = (term_counts + BLOCK - 1) // BLOCK
+    blocks_per_term = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(blocks_per_term_counts, out=blocks_per_term[1:])
+    term_byte_start = group_byte_offsets[blocks_per_term[:-1]]
+    term_byte_end = np.append(term_byte_start[1:], total_bytes)
+    block_offset = (
+        group_byte_offsets
+        - np.repeat(term_byte_start, blocks_per_term_counts)
+    ).astype(np.int32)
+    return EncodedPositions(
+        payload=None,
+        term_byte_start=term_byte_start.astype(np.int64),
+        term_byte_end=term_byte_end.astype(np.int64),
+        block_offset=block_offset,
+        blocks_per_term=blocks_per_term,
+    )
+
+
+def encode_positions_many(
+    term_counts: np.ndarray, tf_all: np.ndarray, pos_deltas: np.ndarray
+) -> EncodedPositions:
+    """Encode T terms' position streams in one vectorized pass.
+
+    ``term_counts``: postings per term (term order); ``tf_all``: positions per
+    posting (posting order); ``pos_deltas``: flat position deltas (first of
+    each posting absolute, then diffs), uint64, value order = posting order.
+    """
+    d = np.ascontiguousarray(pos_deltas, dtype=np.uint64)
+    L = _byte_lengths(d) if d.size else np.empty(0, dtype=np.int64)
+    enc = _position_layout(L, np.asarray(tf_all, dtype=np.int64),
+                           np.asarray(term_counts, dtype=np.int64))
+    total_bytes = int(L.sum())
+    out = np.zeros(total_bytes, dtype=np.uint8)
+    starts = np.cumsum(L) - L
+    _scatter_varints(out, starts, d, L)
+    enc.payload = out
+    return enc
+
+
+def position_layout_from_bytes(
+    buf: np.ndarray, tf_all: np.ndarray, term_counts: np.ndarray
+) -> EncodedPositions:
+    """Recompute the (term, block) byte layout of an EXISTING flat positions
+    buffer (e.g. the segment-order concatenation the merge produces) without
+    decoding any values: one varint-terminator scan gives every value's byte
+    length, and the block geometry follows from (tf_all, term_counts) exactly
+    as in :func:`encode_positions_many`. ``payload`` is set to ``buf``."""
+    total_vals = int(np.asarray(tf_all, dtype=np.int64).sum())
+    ends = np.flatnonzero((buf & 0x80) == 0)[:total_vals]
+    starts = np.empty(total_vals, dtype=np.int64)
+    if total_vals:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    L = (ends - starts + 1) if total_vals else np.empty(0, dtype=np.int64)
+    enc = _position_layout(L, np.asarray(tf_all, dtype=np.int64),
+                           np.asarray(term_counts, dtype=np.int64))
+    enc.payload = buf
+    return enc
+
+
+def decode_positions_run(
+    pos_payload: np.ndarray,
+    pos_block_offset: np.ndarray,
+    i0: int,
+    i1: int,
+    tfs: np.ndarray,
+) -> np.ndarray:
+    """Decode the positions of blocks [i0, i1) of one term → flat int64
+    positions (caller segments by ``tfs``, the decoded tf array of exactly
+    those blocks' postings). Mirrors :func:`decode_run`'s one-scan shape."""
+    total = int(np.asarray(tfs, dtype=np.int64).sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    byte_start = int(pos_block_offset[i0])
+    byte_end = (
+        int(pos_block_offset[i1]) if i1 < len(pos_block_offset)
+        else pos_payload.size
+    )
+    seg = pos_payload[byte_start:byte_end]
+    ends = np.flatnonzero((seg & 0x80) == 0)[:total]
+    starts = np.empty(total, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(total, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (seg[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    # segmented cumsum per posting (first delta of each posting is absolute)
+    d_i64 = vals.astype(np.int64)
+    cs = np.cumsum(d_i64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    p_starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=p_starts[1:])
+    base = cs[p_starts] - d_i64[p_starts]
+    return cs - np.repeat(base, tfs)
+
+
 def decode_postings(enc_n: int, payload: np.ndarray, block_offset: np.ndarray,
                     block_last: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode the full posting list → (doc_ids, tfs, dls)."""

@@ -36,12 +36,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solrutils_spark.index.codec import decode_many, encode_many
+from solrutils_spark.index.codec import (
+    decode_many,
+    encode_many,
+    position_layout_from_bytes,
+)
 
 INDEX_DDL = (
     "bucket int, term string, salt int, df_part long, first_doc long, last_doc long, "
     "payload binary, block_offset array<int>, block_last array<long>, "
-    "block_max_tf array<int>, block_min_dl array<int>"
+    "block_max_tf array<int>, block_min_dl array<int>, "
+    "pos_payload binary, pos_block_offset array<int>"
 )
 
 DEFAULT_BUCKETS = 64
@@ -78,6 +83,25 @@ def _merge_bucket_salt(pdf: pd.DataFrame) -> pd.DataFrame:
     payload = enc.payload
     from solrutils_spark.index.segments import _split_list
 
+    # positional sidecar: every posting's position stream is self-contained
+    # (first position absolute), so the merged stream is the BYTE
+    # concatenation of the segment rows in this same (term, first_doc) order;
+    # only the (term, block) offsets need recomputing — a terminator scan,
+    # no decode (codec.position_layout_from_bytes).
+    if "pos_payload" in pdf.columns:
+        pos_buf = np.frombuffer(
+            b"".join(bytes(p) for p in pdf["pos_payload"]), dtype=np.uint8
+        )
+        lay = position_layout_from_bytes(pos_buf, tfs, term_counts)
+        pos_payload_col = [
+            pos_buf[lay.term_byte_start[t] : lay.term_byte_end[t]].tobytes()
+            for t in range(T)
+        ]
+        pos_bo_col = _split_list(lay.block_offset, lay.blocks_per_term)
+    else:  # segments built before the sidecar existed — loud-empty columns
+        pos_payload_col = [b""] * T
+        pos_bo_col = [[] for _ in range(T)]
+
     return pd.DataFrame(
         {
             "bucket": np.full(T, bucket, dtype=np.int32),
@@ -94,6 +118,8 @@ def _merge_bucket_salt(pdf: pd.DataFrame) -> pd.DataFrame:
             "block_last": _split_list(enc.block_last, enc.blocks_per_term),
             "block_max_tf": _split_list(enc.block_max_tf, enc.blocks_per_term),
             "block_min_dl": _split_list(enc.block_min_dl, enc.blocks_per_term),
+            "pos_payload": pos_payload_col,
+            "pos_block_offset": pos_bo_col,
         }
     )
 
@@ -172,5 +198,14 @@ def write_index(index: DataFrame, out_dir: str, num_buckets: int = DEFAULT_BUCKE
     )
 
 
-def read_index(spark, out_dir: str) -> DataFrame:
-    return spark.read.parquet(str(Path(out_dir) / "index"))
+def read_index(spark, out_dir: str, with_positions: bool = False) -> DataFrame:
+    """Read the merged index. Positions are DROPPED by default so the
+    serving cache / candidate scans never touch the sidecar bytes (parquet
+    column pruning keeps them off disk reads too); the phrase path passes
+    ``with_positions=True``."""
+    df = spark.read.parquet(str(Path(out_dir) / "index"))
+    if not with_positions:
+        pos_cols = [c for c in ("pos_payload", "pos_block_offset") if c in df.columns]
+        if pos_cols:
+            df = df.drop(*pos_cols)
+    return df

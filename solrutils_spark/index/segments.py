@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from solrutils_spark.functions.analyzer import analyze_series
-from solrutils_spark.index.codec import encode_many
+from solrutils_spark.index.codec import encode_many, encode_positions_many
 
 
 def _split_list(arr: np.ndarray, boundaries: np.ndarray) -> list:
@@ -67,6 +67,12 @@ SEGMENT_SCHEMA = pa.schema(
         ("block_last", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_min_dl", pa.list_(pa.int32())),
+        # positional sidecar (round 6): per-posting position streams +
+        # block-aligned byte offsets (codec.py "positional sidecar" section).
+        # Parquet column pruning keeps non-phrase reads from ever touching
+        # these bytes.
+        ("pos_payload", pa.binary()),
+        ("pos_block_offset", pa.list_(pa.int32())),
     ]
 )
 
@@ -124,6 +130,11 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
     else:
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
         dls = np.repeat(lens, lens).astype(np.int64)
+        # token position within its doc (for the positional sidecar): global
+        # arange minus each doc's token-start offset
+        positions = np.arange(doc_ids.size, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
         terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
         # (term, doc) → tf aggregation WITHOUT a pandas object-key groupby:
         # factorize tokens to int codes, sort only the UNIQUE terms
@@ -149,6 +160,17 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
         term_counts = np.bincount(k_s[starts], minlength=len(uniques)).astype(np.int64)
         # one vectorized encode over ALL terms (no per-term Python loop)
         enc = encode_many(term_counts, d_all, tf_all, dl_all)
+        # positional sidecar: lexsort is stable, so within each (term, doc)
+        # group token order == document order and positions are increasing —
+        # delta-encode with the first position of each posting absolute
+        p_s = positions[sort_idx]
+        pos_d = np.empty(p_s.size, dtype=np.int64)
+        pos_d[0] = p_s[0]
+        pos_d[1:] = p_s[1:] - p_s[:-1]
+        pos_d[starts] = p_s[starts]
+        pos_enc = encode_positions_many(
+            term_counts, tf_all, pos_d.astype(np.uint64)
+        )
         n_terms = len(uniq_terms)
         term_starts = np.zeros(n_terms, dtype=np.int64)
         np.cumsum(term_counts[:-1], out=term_starts[1:])
@@ -167,6 +189,15 @@ def _build_segment(pdf: pd.DataFrame, out_dir: str) -> pd.DataFrame:
             "block_last": _split_list(enc.block_last, enc.blocks_per_term),
             "block_max_tf": _split_list(enc.block_max_tf, enc.blocks_per_term),
             "block_min_dl": _split_list(enc.block_min_dl, enc.blocks_per_term),
+            "pos_payload": [
+                pos_enc.payload[
+                    pos_enc.term_byte_start[t] : pos_enc.term_byte_end[t]
+                ].tobytes()
+                for t in range(n_terms)
+            ],
+            "pos_block_offset": _split_list(
+                pos_enc.block_offset, pos_enc.blocks_per_term
+            ),
         }
         table = pa.Table.from_pydict(
             {k: pa.array(v, type=SEGMENT_SCHEMA.field(k).type) for k, v in rows.items()},

@@ -119,6 +119,7 @@ class IndexReader:
         self._docs: DataFrame | None = None
         self._df_cache: dict[str, int] = {}
         self._bucket_datasets: dict[int, object] = {}
+        self._has_positions: bool | None = None
 
     @property
     def docs(self) -> DataFrame:
@@ -196,6 +197,30 @@ class IndexReader:
     def _candidate_rows(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.stats["num_buckets"]) for t in terms})
         return self.index.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def has_positions(self) -> bool:
+        """True when the on-disk index carries the positional sidecar
+        (round-6 codec third stream) — schema check only, cached."""
+        if self._has_positions is None:
+            from solrutils_spark.index.merge import read_index
+
+            cols = read_index(
+                self.spark, self.index_dir, with_positions=True
+            ).columns
+            self._has_positions = "pos_payload" in cols
+        return self._has_positions
+
+    def _candidate_rows_with_positions(self, terms: list[str]) -> DataFrame:
+        """Candidate rows INCLUDING the positional sidecar columns — read
+        fresh from disk (not the lean serving cache): only phrase queries
+        pay for the position bytes, and only for their own terms' buckets."""
+        from solrutils_spark.index.merge import read_index
+
+        idx = read_index(self.spark, self.index_dir, with_positions=True)
+        buckets = sorted({term_bucket(t, self.stats["num_buckets"]) for t in terms})
+        return idx.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
