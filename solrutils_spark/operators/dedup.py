@@ -593,7 +593,11 @@ def dedup_clusters(
         stats_out["n_edges"] = n_edges
         stats_out["path"] = "driver" if n_edges <= driver_edge_threshold else "distributed"
     if n_edges <= driver_edge_threshold:
-        rows = half.collect()
+        # Arrow both ways (round 6): toPandas() ships the edge list as Arrow
+        # batches and createDataFrame(pandas) ships the labels back the same
+        # way — the row-pickled collect() + parallelize of 2×|V| python
+        # tuples was ~40% of this operator's wall at 50k docs
+        pdf = half.toPandas()
         spark = pairs.sparkSession
         edges.unpersist()
         parent: dict[int, int] = {}
@@ -606,8 +610,7 @@ def dedup_clusters(
                 parent[a], a = root, parent[a]
             return root
 
-        for r in rows:
-            x, y = r["x"], r["y"]
+        for x, y in zip(pdf["x"].tolist(), pdf["y"].tolist()):
             parent.setdefault(x, x)
             parent.setdefault(y, y)
             rx, ry = find(x), find(y)
@@ -617,10 +620,10 @@ def dedup_clusters(
                     parent[ry] = rx
                 else:
                     parent[rx] = ry
-        out_rows = [(i, find(i)) for i in parent]
-        return spark.createDataFrame(
-            out_rows, f"{id_col} long, cluster_id long"
-        )
+        out = pd.DataFrame(
+            {id_col: list(parent), "cluster_id": [find(i) for i in parent]}
+        ).astype({id_col: "int64", "cluster_id": "int64"})
+        return spark.createDataFrame(out, f"{id_col} long, cluster_id long")
     labels = (
         edges.select(F.col("x").alias("id")).distinct().withColumn("label", F.col("id"))
     )

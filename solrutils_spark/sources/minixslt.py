@@ -85,6 +85,13 @@ never a silent wrong answer. Built-in rules: an element with no matching
 template recurses into child elements; text nodes are NOT implicitly copied
 (Solr-mapping stylesheets are explicit; deviation documented here).
 
+PERMANENT SCOPE (round 6 close-out): the ``namespace::`` axis and the
+documented unprefixed-name-test deviation are out of scope for this
+interpreter — both stay behind the loud ``UnsupportedXsltError`` gate. The
+subset already exceeds what Solr mapping stylesheets exercise; stylesheets
+that need the namespace axis should use lxml (below), which this module
+prefers automatically when installed.
+
 For full XSLT install lxml — ``make_xslt_transform`` prefers it when present.
 """
 
