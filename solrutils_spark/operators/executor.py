@@ -216,13 +216,13 @@ class PlanExecutor:
         NEVER score. A Lucene-marker string neither engine accepts
         re-raises the SQL error plus the parser's — loud, per contract."""
         from solrutils_spark.query.qparser import (
-            boolean_scored,
+            apply_boolean_filter,
             is_lucene_syntax,
         )
 
         try:
             return df.filter(F.expr(fq))
-        except Exception:
+        except Exception as sql_err:
             # not only AnalysisException/ParseException: Spark 4 reads
             # ``lang:py`` as VARIANT path syntax and rejects it with a
             # wrapped SparkException — any eager-analysis rejection means
@@ -230,11 +230,14 @@ class PlanExecutor:
             # happens only BECAUSE SQL raised (never a silent reroute)
             if self.reader is None or not is_lucene_syntax(fq):
                 raise
-        scored = boolean_scored(self.reader, fq)  # loud on unsupported
-        if scored is None:
-            return df.filter(F.lit(False))  # no positive clause matches
-        ids = scored.select(F.col("doc_id").alias(self.id_column))
-        return df.join(ids, self.id_column, "left_semi")
+            try:
+                # pure-negative fq bodies get Solr's match-all-minus-matches
+                # rewrite inside apply_boolean_filter (r5 ADVICE, medium)
+                return apply_boolean_filter(df, self.id_column, self.reader, fq)
+            except Exception as lucene_err:
+                # chain so BOTH rejections surface (r5 ADVICE, low): the
+                # docstring's "re-raises the SQL error plus the parser's"
+                raise lucene_err from sql_err
 
     def _cached_filter_ids(self, plan: QueryPlan) -> DataFrame:
         """Persisted doc_id domain for the plan's fq set (filterCache twin).

@@ -56,16 +56,19 @@ def _query_domain(domain: DataFrame, q: str, reader, id_column: str) -> DataFram
     PlanExecutor._apply_fq — Solr facet.query bodies ARE Lucene queries)."""
     try:
         return domain.filter(F.expr(q))
-    except Exception:
-        from solrutils_spark.query.qparser import boolean_scored, is_lucene_syntax
+    except Exception as sql_err:
+        from solrutils_spark.query.qparser import (
+            apply_boolean_filter,
+            is_lucene_syntax,
+        )
 
         if reader is None or not is_lucene_syntax(q):
             raise
-    scored = boolean_scored(reader, q)
-    if scored is None:
-        return domain.filter(F.lit(False))
-    ids = scored.select(F.col("doc_id").alias(id_column))
-    return domain.join(ids, id_column, "left_semi")
+        try:
+            # pure-negative bodies → Solr's match-all-minus-matches rewrite
+            return apply_boolean_filter(domain, id_column, reader, q)
+        except Exception as lucene_err:
+            raise lucene_err from sql_err  # surface BOTH rejections
 
 
 def query_facets(domain: DataFrame, specs: list[str], reader=None,

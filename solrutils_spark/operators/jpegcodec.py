@@ -571,7 +571,13 @@ def _run_prog_scan(data, reader, state, comps, scan, coefs, ss, se, ah, al,
                             break
                         r -= 1
                     k += 1
-                if val and k <= se:
+                if val:
+                    if k > se:
+                        # a desynced stream must fail loudly, matching
+                        # ac_first's 'AC run past band end' (r5 ADVICE, low)
+                        raise ValueError(
+                            "invalid JPEG: AC refine run past band end"
+                        )
                     block[_ZIGZAG[k]] = val
                 k += 1
         if state["eobrun"] > 0:

@@ -493,6 +493,38 @@ def boolean_scored(reader, q: str) -> DataFrame | None:
     return _exec_nodes(reader, parse_query(q))
 
 
+def apply_boolean_filter(df: DataFrame, id_column: str, reader, q: str) -> DataFrame:
+    """Restrict ``df`` to the docs a FILTER body (fq / facet.query) matches.
+
+    One Solr special case beyond ``boolean_scored`` (r5 ADVICE, medium): a
+    TOP-LEVEL body of only negative clauses (``-lang:py``, a very common
+    Solr fq idiom) matches *everything except* the union of the negated
+    sub-queries — Solr rewrites top-level pure-negative q/fq as ``*:*``
+    minus matches, while BooleanQuery semantics inside a sub-clause still
+    require a positive clause. Implemented as anti-joins against the
+    caller's own domain (no match-all scan, and correct even when the
+    domain is wider than the index). A positive body that can match
+    nothing (e.g. a MUST term absent from the corpus) yields the empty
+    domain, as before."""
+    nodes = parse_query(q)
+    if nodes and all(n.occur == MUST_NOT for n in nodes):
+        out = df
+        for n in nodes:
+            nd = _node_matches(reader, n)
+            if nd is not None:
+                out = out.join(
+                    nd.select(F.col("doc_id").alias(id_column)),
+                    id_column, "left_anti",
+                )
+        return out
+    scored = _exec_nodes(reader, nodes)
+    if scored is None:
+        return df.filter(F.lit(False))
+    return df.join(
+        scored.select(F.col("doc_id").alias(id_column)), id_column, "left_semi"
+    )
+
+
 def execute_boolean(reader, q: str, k: int = 10, *, offset: int = 0,
                     filter_df: DataFrame | None = None) -> DataFrame:
     """Parse ``q`` and run it → DataFrame(doc_id, score) top-k.
@@ -532,6 +564,7 @@ def is_lucene_syntax(q: str) -> bool:
 __all__ = [
     "Clause",
     "Group",
+    "apply_boolean_filter",
     "boolean_scored",
     "is_lucene_syntax",
     "MUST",

@@ -1513,3 +1513,54 @@ def test_lucene_syntax_facet_query(engine):
         reader=engine.reader,
     )
     assert jf["seg_docs"]["count"] == n_seg_py
+
+
+def test_pure_negative_fq_matches_all_minus_matches(engine):
+    """r5 ADVICE (medium): Solr treats a TOP-LEVEL pure-negative q/fq
+    (``-lang:py``) as match-all minus the matches; boolean_scored's
+    no-positive-clause None must NOT silently become the empty domain."""
+    from solrutils_spark.plans.model import SearchModel
+
+    model = SearchModel({
+        "query": {"op": "q", "body": "${value}"},
+        "raw_fq": {"op": "fq", "filters": {"raw": {"body": "${value}"}}},
+        "rows": {"op": "set", "name": "rows", "body": "${value:int}"},
+    })
+
+    def ids(fq):
+        rsp = engine.search(model, {"query": "posting", "rows": 10_000.0,
+                                    "raw_fq": {"raw": fq}})
+        return sorted(d["doc_id"] for d in rsp["response"]["docs"])
+
+    base = ids("lang:py OR lang:go OR lang:js OR lang:rs OR lang:java")
+    got = ids("-lang:py")
+    want = [d for d in base if d not in set(ids("lang:py"))]
+    assert got == want and got  # nearly-everything, not nothing
+    # two negatives: minus the union
+    got2 = ids("-lang:py -lang:go")
+    want2 = [d for d in base if d not in set(ids("lang:py OR lang:go"))]
+    assert got2 == want2
+    # facet.query twin routes through the same rewrite
+    from solrutils_spark.operators.facets import query_facets
+
+    counts = query_facets(engine.collection, ["{!key=notpy}-lang:py"],
+                          reader=engine.reader)
+    assert counts["notpy"] == engine.collection.filter("lang != 'py'").count()
+
+
+def test_lucene_fq_failure_chains_sql_error(engine):
+    """r5 ADVICE (low): when SQL rejects an fq and the boolean executor
+    also rejects it, the raised error must chain the SQL rejection
+    (__cause__), so both diagnoses surface."""
+    import pytest as _pytest
+
+    from solrutils_spark.plans.model import SearchModel
+
+    model = SearchModel({
+        "query": {"op": "q", "body": "${value}"},
+        "raw_fq": {"op": "fq", "filters": {"raw": {"body": "${value}"}}},
+    })
+    with _pytest.raises(Exception) as ei:
+        engine.search(model, {"query": "posting",
+                              "raw_fq": {"raw": 'lang:(py AND'}})
+    assert ei.value.__cause__ is not None  # the SQL rejection is chained
