@@ -70,6 +70,16 @@ def _bm25_topk(
             lambda t: F.length(t) >= 2,
         ).alias("toks"),
     )
+    # Tokenize ONCE: the stats agg below and the scoring pass are two
+    # actions over the same token arrays — without a materialization each
+    # re-runs the split+filter over the full corpus (the tokenize is most
+    # of the query). Eager localCheckpoint holds the arrays MEMORY_AND_DISK
+    # for the query's lifetime; the ContextCleaner frees the blocks when the
+    # result goes out of scope (no CacheManager entry, nothing persists
+    # across runs — every invocation recomputes from the parquet input).
+    # Measured at 50k docs/local[32]: 3.10-3.18 s → 1.87-1.96 s, rows
+    # identical at sf0.1 and 50k.
+    toks = toks.localCheckpoint(eager=True)
     stats = toks.agg(
         F.count("*").alias("n"),
         F.avg(F.size("toks")).alias("avgdl"),
@@ -426,6 +436,9 @@ def q_phrase(spark, sf_dir):
             lambda t: F.length(t) >= 2,
         ).alias("toks"),
     )
+    # tokenize once for the stats agg + scoring pass (same rationale and
+    # lifetime as _bm25_topk's checkpoint above)
+    toks = toks.localCheckpoint(eager=True)
     stats = toks.agg(
         F.count("*").alias("n"),
         F.avg(F.size("toks")).alias("avgdl"),
@@ -532,6 +545,9 @@ def q_boolean_query(spark, sf_dir):
             lambda t: F.length(t) >= 2,
         ).alias("toks"),
     )
+    # tokenize once for the stats agg + scoring pass (same rationale and
+    # lifetime as _bm25_topk's checkpoint)
+    toks_df = toks_df.localCheckpoint(eager=True)
     stats = toks_df.agg(
         F.count("*").alias("n"),
         F.avg(F.size("toks")).alias("avgdl"),
@@ -595,6 +611,11 @@ def _toks_stats(spark, sf_dir):
             lambda t: F.length(t) >= 2,
         ).alias("toks"),
     )
+    # tokenize once: every twin runs this stats agg, then _idf_of's per-term
+    # agg, then its own scoring pass over the same arrays (3 corpus
+    # tokenizations without a materialization; same rationale/lifetime as
+    # _bm25_topk's checkpoint)
+    toks_df = toks_df.localCheckpoint(eager=True)
     stats = toks_df.agg(
         F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
     ).collect()[0]

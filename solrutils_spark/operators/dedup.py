@@ -526,16 +526,21 @@ def simhash_near_dups(
     b = exploded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "bval"
     )
-    pairs = (
+    # hamming filter BEFORE the dedup: bit_count is a cheap per-row JVM
+    # expression evaluated map-side on the join output, so the distinct's
+    # exchange carries only the SURVIVING pairs instead of every
+    # bucket-collision pair (on boilerplate corpora collisions ≫ survivors;
+    # output identical — hamming is a function of the pair, so deduping
+    # (id_a, id_b, hamming) equals deduping (id_a, id_b, sh_a, sh_b) first)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
         a.join(b, ["blk", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
 
 
 # ------------------------------------------------------ cluster resolve ----

@@ -251,7 +251,13 @@ class PlanExecutor:
         if hit is None:
             ids = self._filtered_domain(plan).select(self.id_column)
             if self.reader is not None:
-                ids = self.reader.salted_filter(ids).repartition("salt")
+                ids = self.reader.salted_filter(ids)
+                # co-partition with the serving cache so the cogroup elides
+                # BOTH exchanges (a mismatched count re-exchanges the pruned
+                # candidate rows per query — cache_for_serving docstring)
+                n = self.reader._serving_partitions
+                ids = (ids.repartition(n, "salt") if n is not None
+                       else ids.repartition("salt"))
             hit = ids.persist()
             if len(self._filter_cache) >= self.filter_cache_size:
                 oldest = next(iter(self._filter_cache))  # least-recently-used

@@ -120,6 +120,7 @@ class IndexReader:
         self._df_cache: dict[str, int] = {}
         self._bucket_datasets: dict[int, object] = {}
         self._has_positions: bool | None = None
+        self._serving_partitions: int | None = None
 
     @property
     def docs(self) -> DataFrame:
@@ -188,6 +189,7 @@ class IndexReader:
             part = part.sortWithinPartitions("bucket", "term")
         self.index = part.persist()
         self.index.count()
+        self._serving_partitions = int(num_partitions)
         return self
 
     def idf(self, df: int) -> float:
