@@ -267,7 +267,7 @@ def search_conj(
     cand = reader._candidate_rows(terms)
 
     if filter_df is not None:
-        fids = reader.salted_filter(filter_df)
+        fids = reader._aligned_filter(filter_df)
 
         def ckernel(cand_pdf: pd.DataFrame, fid_pdf: pd.DataFrame) -> pd.DataFrame:
             if cand_pdf.empty or fid_pdf.empty:

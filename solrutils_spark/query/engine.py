@@ -121,6 +121,12 @@ class IndexReader:
         self._bucket_datasets: dict[int, object] = {}
         self._has_positions: bool | None = None
         self._serving_partitions: int | None = None
+        # filter-alignment cache: id(filter_df) → (source ref, aligned df).
+        # Bounded LRU; see _aligned_filter.
+        from collections import OrderedDict
+
+        self._filter_align_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._filter_align_max = 8
 
     @property
     def docs(self) -> DataFrame:
@@ -291,6 +297,55 @@ class IndexReader:
             F.col(filter_df.columns[0]).cast("long").alias("doc_id")
         ).withColumn("salt", (F.col("doc_id") / F.lit(span)).cast("int"))
 
+    def _aligned_filter(self, filter_df: DataFrame) -> DataFrame:
+        """Salt the filter side and CO-PARTITION it with the serving cache.
+
+        The scored-filter cogroup requires both children clustered by
+        ``salt`` with the same partition count. A filterCache persisted at a
+        different count (e.g. ``repartition("salt")`` under default shuffle
+        partitions = 128 against a 32-partition serving cache — the shape a
+        caller gets by following the salted_filter docstring verbatim on a
+        local session) forces EnsureRequirements to re-exchange one side on
+        EVERY query job. Measured on the 20k bench index (local[32],
+        interleaved reps): the 13-query filtered loop runs 20-30% slower
+        with a 128-partition filter than with a co-partitioned one
+        (10.7/8.7/5.6 s vs 7.7/6.9/4.2 s), and a co-partitioned filter is at
+        parity with the unfiltered loop.
+
+        When serving mode is on and the counts mismatch, the salted ids are
+        re-partitioned ONCE and persisted (persist — not localCheckpoint —
+        because only InMemoryRelation preserves the hash partitioning for
+        Catalyst; a checkpointed RDD reports UnknownPartitioning and the
+        per-query exchange comes back). Entries live in a bounded LRU keyed
+        by the caller's filter frame (the Solr filterCache analog,
+        filterCache semantics like PlanExecutor._cached_filter_ids):
+        at most ``_filter_align_max`` aligned domains are resident, eviction
+        unpersists. On a correctly co-partitioned cluster deployment the
+        counts match and this cache never engages (zero extra memory)."""
+        fids = self.salted_filter(filter_df)
+        n = self._serving_partitions
+        if n is None:
+            return fids
+        key = id(filter_df)
+        hit = self._filter_align_cache.pop(key, None)
+        if hit is not None:
+            self._filter_align_cache[key] = hit  # re-insert → most recent
+            return hit[1]
+        try:
+            cur = fids.rdd.getNumPartitions()
+        except Exception:
+            return fids
+        if cur == n:
+            return fids
+        aligned = fids.repartition(n, "salt").persist()
+        # the source ref pins the caller's frame so id() stays unique for
+        # the cache entry's lifetime
+        self._filter_align_cache[key] = (filter_df, aligned)
+        if len(self._filter_align_cache) > self._filter_align_max:
+            _, old = self._filter_align_cache.popitem(last=False)
+            old[1].unpersist()
+        return aligned
+
     def search(
         self,
         query_text: str,
@@ -319,7 +374,7 @@ class IndexReader:
         cand = self._candidate_rows(terms)
 
         if filter_df is not None:
-            fids = self.salted_filter(filter_df)
+            fids = self._aligned_filter(filter_df)
 
             def ckernel(cand_pdf: pd.DataFrame, fid_pdf: pd.DataFrame) -> pd.DataFrame:
                 if cand_pdf.empty or fid_pdf.empty:
@@ -451,7 +506,7 @@ class IndexReader:
 
         cand = self._candidate_rows(live_terms)
         if filter_df is not None:
-            fids = self.salted_filter(filter_df)
+            fids = self._aligned_filter(filter_df)
 
             def ckernel(cand_pdf: pd.DataFrame, fid_pdf: pd.DataFrame) -> pd.DataFrame:
                 if cand_pdf.empty or fid_pdf.empty:

@@ -470,3 +470,72 @@ def test_maxscore_lookup_mode_engages_and_stays_exact(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in res] == [
         (d, _pytest.approx(s, abs=1e-9)) for d, s in expected
     ]
+
+
+def test_aligned_filter_copartitions_and_is_rank_identical(spark, index_dir):
+    """Serving-mode filter alignment (round 6): a filterCache persisted at a
+    partition count differing from the serving cache is re-partitioned ONCE,
+    persisted, and memoized (LRU) — results identical to the driver-list
+    path, the cache engages exactly once per filter frame, and eviction
+    unpersists."""
+    reader = IndexReader(spark, index_dir).cache_for_serving()
+    try:
+        n_serving = reader._serving_partitions
+        assert n_serving is not None
+        mismatched = max(4, n_serving * 2)
+        allowed = [d for d in range(N_DOCS) if d % 3 == 0]
+        fdf = (
+            reader.salted_filter(
+                spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+            )
+            .repartition(mismatched, "salt")
+            .persist()
+        )
+        fdf.count()
+        qtext = "posting segment lucene"
+        got = [(r["doc_id"], r["score"])
+               for r in reader.search(qtext, 10, filter_df=fdf).collect()]
+        exp = [(r["doc_id"], r["score"])
+               for r in reader.search(qtext, 10, filter_doc_ids=allowed).collect()]
+        assert got == exp
+        # cache engaged: one aligned entry, co-partitioned with the serving cache
+        assert len(reader._filter_align_cache) == 1
+        (_src, aligned), = reader._filter_align_cache.values()
+        assert aligned.rdd.getNumPartitions() == n_serving
+        # second query reuses the SAME aligned frame (memoized by frame id)
+        reader.search(qtext, 5, filter_df=fdf).count()
+        (_src2, aligned2), = reader._filter_align_cache.values()
+        assert aligned2 is aligned
+        # an already-co-partitioned filter bypasses the cache
+        fdf_ok = (
+            reader.salted_filter(
+                spark.createDataFrame([(d,) for d in allowed], "doc_id long")
+            )
+            .repartition(n_serving, "salt")
+            .persist()
+        )
+        fdf_ok.count()
+        got_ok = [(r["doc_id"], r["score"])
+                  for r in reader.search(qtext, 10, filter_df=fdf_ok).collect()]
+        assert got_ok == exp
+        assert len(reader._filter_align_cache) == 1  # no new entry
+        # LRU bound: flooding with distinct mismatched frames evicts oldest
+        reader._filter_align_max = 2
+        frames = []
+        for off in range(3):
+            f = (
+                reader.salted_filter(
+                    spark.createDataFrame(
+                        [(d,) for d in allowed[off:]], "doc_id long")
+                )
+                .repartition(mismatched, "salt")
+                .persist()
+            )
+            f.count()
+            frames.append(f)
+            reader.search(qtext, 5, filter_df=f).count()
+        assert len(reader._filter_align_cache) == 2
+        for f in [fdf, fdf_ok, *frames]:
+            f.unpersist()
+    finally:
+        reader.index.unpersist()
