@@ -336,14 +336,20 @@ class IndexReader:
         except Exception:
             return fids
         if cur == n:
-            return fids
-        aligned = fids.repartition(n, "salt").persist()
+            # memoize the pass-through too: the partition-count probe above
+            # is a per-frame plan conversion (~tens of ms of py4j) that a
+            # correctly co-partitioned caller should pay once, not per query
+            aligned, owned = fids, False
+        else:
+            aligned, owned = fids.repartition(n, "salt").persist(), True
         # the source ref pins the caller's frame so id() stays unique for
-        # the cache entry's lifetime
-        self._filter_align_cache[key] = (filter_df, aligned)
+        # the cache entry's lifetime; `owned` marks frames WE persisted
+        # (eviction must not unpersist a caller's own cache)
+        self._filter_align_cache[key] = (filter_df, aligned, owned)
         if len(self._filter_align_cache) > self._filter_align_max:
             _, old = self._filter_align_cache.popitem(last=False)
-            old[1].unpersist()
+            if old[2]:
+                old[1].unpersist()
         return aligned
 
     def search(

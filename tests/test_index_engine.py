@@ -498,15 +498,18 @@ def test_aligned_filter_copartitions_and_is_rank_identical(spark, index_dir):
         exp = [(r["doc_id"], r["score"])
                for r in reader.search(qtext, 10, filter_doc_ids=allowed).collect()]
         assert got == exp
-        # cache engaged: one aligned entry, co-partitioned with the serving cache
+        # cache engaged: one aligned entry, co-partitioned with the serving
+        # cache and owned (persisted) by the reader
         assert len(reader._filter_align_cache) == 1
-        (_src, aligned), = reader._filter_align_cache.values()
+        (_src, aligned, owned), = reader._filter_align_cache.values()
+        assert owned
         assert aligned.rdd.getNumPartitions() == n_serving
         # second query reuses the SAME aligned frame (memoized by frame id)
         reader.search(qtext, 5, filter_df=fdf).count()
-        (_src2, aligned2), = reader._filter_align_cache.values()
+        (_src2, aligned2, _), = reader._filter_align_cache.values()
         assert aligned2 is aligned
-        # an already-co-partitioned filter bypasses the cache
+        # an already-co-partitioned filter passes through un-repartitioned
+        # (memoized as a non-owned entry so the partition probe runs once)
         fdf_ok = (
             reader.salted_filter(
                 spark.createDataFrame([(d,) for d in allowed], "doc_id long")
@@ -518,7 +521,10 @@ def test_aligned_filter_copartitions_and_is_rank_identical(spark, index_dir):
         got_ok = [(r["doc_id"], r["score"])
                   for r in reader.search(qtext, 10, filter_df=fdf_ok).collect()]
         assert got_ok == exp
-        assert len(reader._filter_align_cache) == 1  # no new entry
+        assert len(reader._filter_align_cache) == 2
+        ok_entry = reader._filter_align_cache[id(fdf_ok)]
+        assert not ok_entry[2]                      # not owned: no persist
+        assert ok_entry[1].rdd.getNumPartitions() == n_serving
         # LRU bound: flooding with distinct mismatched frames evicts oldest
         reader._filter_align_max = 2
         frames = []
