@@ -165,9 +165,10 @@ class IndexReader:
         removing the empty-task overhead where salts ≪ shuffle
         partitions. Note a filter side persisted at a DIFFERENT partition
         count makes the cogroup re-exchange the pruned candidate rows
-        (bucket/term-filtered — MBs, not the index); measured net-positive
-        at both partitionings, but co-partition the filterCache with the
-        same count to elide it entirely.
+        (bucket/term-filtered — MBs, not the index); since round 6 the
+        reader detects this and re-partitions + persists the filter ids
+        itself, once per frame (:meth:`_aligned_filter`) — callers that
+        co-partition their filterCache up front simply bypass that cache.
 
         ``sort_for_pruning``: sort rows by ``(bucket, term)`` within each
         salt partition before caching, so InMemoryRelation's per-batch
